@@ -1,0 +1,74 @@
+"""Batch replayer: drive merge_apply over an ordered change stream.
+
+A binlog/WAL materialized as a DataFrame with a ``batch_id`` column is
+replayed one microbatch at a time; every batch commit is fenced, so a
+replay interrupted at batch k resumes from k+1 with no duplicates and no
+gaps (exactly-once). The streaming face of the same loop lives in
+``docetl_spark.streaming.stream`` (Structured Streaming foreachBatch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docetl_spark.cdc.merge import DELETED_COL, FENCE_PROP, MergeMetrics, TransformStage, merge_apply
+from docetl_spark.lake.table import LakeTable
+
+
+def create_cdc_table(path: str, key_cols: list[str], num_buckets: int = 16) -> LakeTable:
+    """Create an empty CDC target table: key columns + LWW system columns.
+
+    All payload columns arrive via in-flight schema evolution, exactly as
+    new DocETL operator output columns appear mid-stream (north rule).
+    """
+    fields = [T.StructField(k, T.StringType(), False) for k in key_cols]
+    fields += [T.StructField("lsn", T.LongType(), True), T.StructField(DELETED_COL, T.BooleanType(), True)]
+    return LakeTable.create(path, T.StructType(fields), key_cols, num_buckets=num_buckets)
+
+
+def read_state(spark: SparkSession, table: LakeTable, version: int | None = None) -> DataFrame:
+    """Live (non-tombstoned) rows of a CDC table."""
+    df = table.read(spark, version)
+    if DELETED_COL in df.columns:
+        df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+    return df
+
+
+def replay_events(
+    spark: SparkSession,
+    table: LakeTable,
+    events: DataFrame,
+    stages: Iterable[TransformStage] = (),
+    batch_col: str = "batch_id",
+    metrics_path: str | None = None,
+) -> list[MergeMetrics]:
+    """Replay ``events`` batch by batch in ascending ``batch_col`` order.
+
+    Already-applied batches (fence) are skipped without reading their data.
+    Per-batch lineage metrics are returned and, if ``metrics_path`` is
+    given, appended as JSONL (the metrics table).
+    """
+    last_applied = int(table.snapshot().properties.get(FENCE_PROP, "-1"))
+    batch_ids = [
+        r[0]
+        for r in events.filter(F.col(batch_col) > last_applied)
+        .select(batch_col)
+        .distinct()
+        .sort(batch_col)
+        .collect()
+    ]
+    out: list[MergeMetrics] = []
+    for bid in batch_ids:
+        m = merge_apply(spark, table, events.filter(F.col(batch_col) == bid), int(bid), stages=stages)
+        out.append(m)
+        if metrics_path:
+            os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(m.to_dict()) + "\n")
+    return out

@@ -1,0 +1,268 @@
+"""A minimal snapshot-isolated lake table format (Iceberg-style, pure Python).
+
+The container image carries no Iceberg/Delta runtime jars, so the engine
+implements the subset of lake-table semantics the CDC north rule requires,
+from scratch, on parquet + atomic metadata commits:
+
+* **Snapshot isolation / time travel** — each commit writes an immutable
+  ``meta/v{N}.json`` listing every live data file; readers resolve the
+  highest version (or an explicit one) and never see partial writes.
+* **Atomic, exclusive commits** — metadata is written to a temp file and
+  published with ``os.link`` (fails if the target version already exists),
+  so a crashed or raced commit can never corrupt the table. This mirrors
+  Iceberg's optimistic-concurrency metadata swap.
+* **Bucket-partitioned copy-on-write** — data files are hash-bucketed on
+  the merge key; a MERGE rewrites only the buckets its keys touch and the
+  new snapshot re-points every untouched bucket at its existing files.
+  At 10^10-row scale a microbatch touching 1% of key-space rewrites ~1%
+  of the table, not all of it.
+* **Schema evolution** — the table schema lives in metadata; ADD COLUMN
+  and int->long->double widening are metadata-only (old files are read
+  through the evolved schema: missing columns read as null, narrow ints
+  upcast by the parquet reader).
+* **Snapshot properties** — arbitrary key/values (e.g. the CDC
+  ``last-batch-id`` fence) committed atomically with the data change.
+
+Design informed by the public Iceberg spec (iceberg.apache.org/spec) —
+no Iceberg code is used. Plays the role of the reference's JSON
+checkpoint store (docetl/runner.py:546-663) but with transactional
+semantics.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_META_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first."""
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: T.StructType
+    num_buckets: int
+    key_cols: list[str]
+    files: dict[int, list[str]]  # bucket -> relative file paths
+    properties: dict[str, str]
+    summary: dict
+    timestamp_ms: int
+
+    @property
+    def all_files(self) -> list[str]:
+        return [f for fl in self.files.values() for f in fl]
+
+
+class LakeTable:
+    """One table rooted at ``path`` with merge key ``key_cols``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.meta_dir = os.path.join(path, "meta")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- lifecycle -----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        t = cls(path)
+        if t.exists():
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        for k in key_cols:
+            if k not in schema.fieldNames():
+                raise ValueError(f"key column {k!r} not in schema")
+        t._write_meta(
+            version=1,
+            schema=schema,
+            num_buckets=num_buckets,
+            key_cols=list(key_cols),
+            files={},
+            properties=dict(properties or {}),
+            summary={"operation": "create"},
+        )
+        return t
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.meta_dir) and bool(self._versions())
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for name in os.listdir(self.meta_dir):
+            m = _META_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no table at {self.path}")
+        return vs[-1]
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = version if version is not None else self.current_version()
+        with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
+            m = json.load(f)
+        return Snapshot(
+            version=m["version"],
+            schema=T.StructType.fromJson(m["schema"]),
+            num_buckets=m["num_buckets"],
+            key_cols=m["key_cols"],
+            files={int(k): v for k, v in m["files"].items()},
+            properties=m.get("properties", {}),
+            summary=m.get("summary", {}),
+            timestamp_ms=m.get("timestamp_ms", 0),
+        )
+
+    # -- read ----------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) state as a DataFrame.
+
+        Old files are read through the evolved table schema: columns added
+        since a file was written come back null; int32 columns widened to
+        long/double are upcast by the parquet vectorized reader.
+        """
+        snap = self.snapshot(version)
+        paths = [os.path.join(self.path, f) for f in snap.all_files]
+        if not paths:
+            return spark.createDataFrame([], snap.schema)
+        return spark.read.schema(snap.schema).parquet(*paths)
+
+    def read_buckets(self, spark: SparkSession, buckets: list[int], snap: Snapshot) -> DataFrame:
+        paths = [os.path.join(self.path, f) for b in buckets for f in snap.files.get(b, [])]
+        if not paths:
+            return spark.createDataFrame([], snap.schema)
+        return spark.read.schema(snap.schema).parquet(*paths)
+
+    # -- write ---------------------------------------------------------------
+
+    def bucket_expr(self, snap: Snapshot) -> F.Column:
+        """Deterministic bucket id for a row: pmod(xxhash64(keys), N).
+
+        xxhash64 over the full composite key spreads a hot repo's many
+        (path, commit) rows uniformly across buckets — hot-KEY skew cannot
+        become hot-BUCKET skew.
+        """
+        return F.pmod(F.xxhash64(*[F.col(k) for k in snap.key_cols]), F.lit(snap.num_buckets)).cast("int")
+
+    def write_bucket_files(self, df: DataFrame, snap: Snapshot, tag: str) -> dict[int, list[str]]:
+        """Write ``df`` (already conforming to table schema) partitioned by
+        bucket under ``data/<tag>/``; returns bucket -> new relative paths."""
+        out_dir = os.path.join(self.data_dir, tag)
+        (
+            df.withColumn("_bucket", self.bucket_expr(snap))
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        files: dict[int, list[str]] = {}
+        for p in glob.glob(os.path.join(out_dir, "_bucket=*", "*.parquet")):
+            b = int(p.split("_bucket=")[1].split(os.sep)[0])
+            files.setdefault(b, []).append(os.path.relpath(p, self.path))
+        return files
+
+    def commit(
+        self,
+        new_files_by_bucket: dict[int, list[str]],
+        replaced_buckets: set[int],
+        schema: T.StructType | None = None,
+        properties: dict[str, str] | None = None,
+        summary: dict | None = None,
+        expected_version: int | None = None,
+    ) -> Snapshot:
+        """Publish a new snapshot: untouched buckets carry their old files
+        forward; ``replaced_buckets`` take only the new files. Raises
+        CommitConflict if someone else committed first (retry by re-reading)."""
+        cur = self.snapshot()
+        if expected_version is not None and cur.version != expected_version:
+            raise CommitConflict(f"expected v{expected_version}, table at v{cur.version}")
+        files = {b: list(fl) for b, fl in cur.files.items() if b not in replaced_buckets}
+        for b, fl in new_files_by_bucket.items():
+            files.setdefault(b, [])
+            files[b] = fl if b in replaced_buckets else files[b] + fl
+        props = dict(cur.properties)
+        props.update(properties or {})
+        self._write_meta(
+            version=cur.version + 1,
+            schema=schema or cur.schema,
+            num_buckets=cur.num_buckets,
+            key_cols=cur.key_cols,
+            files=files,
+            properties=props,
+            summary=summary or {},
+        )
+        return self.snapshot()
+
+    def _write_meta(self, version, schema, num_buckets, key_cols, files, properties, summary):
+        meta = {
+            "version": version,
+            "schema": schema.jsonValue(),
+            "num_buckets": num_buckets,
+            "key_cols": key_cols,
+            "files": {str(k): sorted(v) for k, v in files.items()},
+            "properties": properties,
+            "summary": summary,
+            "timestamp_ms": int(time.time() * 1000),
+        }
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self.meta_dir, f"v{version:08d}.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # atomic + exclusive: fails if version exists
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Delete data files unreferenced by the newest ``keep_versions``
+        snapshots, and prune old metadata. Returns files removed."""
+        vs = self._versions()
+        keep = set(vs[-keep_versions:])
+        live: set[str] = set()
+        for v in keep:
+            live.update(self.snapshot(v).all_files)
+        removed = 0
+        for p in glob.glob(os.path.join(self.data_dir, "**", "*.parquet"), recursive=True):
+            if os.path.relpath(p, self.path) not in live:
+                os.unlink(p)
+                removed += 1
+        for d in glob.glob(os.path.join(self.data_dir, "*")):
+            if os.path.isdir(d) and not glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+                shutil.rmtree(d, ignore_errors=True)
+        for v in vs:
+            if v not in keep:
+                os.unlink(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+        return removed

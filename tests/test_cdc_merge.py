@@ -1,0 +1,176 @@
+"""CDC merge-apply engine: upsert-replay assertions (FIXTURES.md F4).
+
+These mirror the reference's operation-level tests recast as replay
+assertions: run the change stream through the engine, then assert the lake
+table's final state — row counts, key sets, per-row sha256(content) —
+equals a declarative oracle computed from the same events.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docetl_spark.cdc import create_cdc_table, merge_apply, read_state, replay_events
+from docetl_spark.cdc.merge import FENCE_PROP
+from docetl_spark.lake import LakeTable
+from docetl_spark.sources.testgen import final_state_oracle, gen_change_events
+
+KEYS = ["repo", "path", "commit"]
+
+
+def state_hashes(df):
+    """Order-insensitive (key..., sha256(content)) set — the invariant the
+    north rule checks per row."""
+    rows = df.select(*KEYS, F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("h")).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.fixture()
+def events(spark):
+    return gen_change_events(spark, n_events=4000, n_keys=600, batch_size=1000, seed=42).cache()
+
+
+def test_replay_matches_oracle(spark, tmp_path, events):
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    metrics = replay_events(spark, table, events, metrics_path=str(tmp_path / "m.jsonl"))
+    assert len(metrics) == 4
+    assert all(not m.skipped for m in metrics)
+    assert sum(m.events_in for m in metrics) == 4000
+
+    got = read_state(spark, table)
+    want = final_state_oracle(events)
+    assert state_hashes(got) == state_hashes(want)
+    # lsn column stored and correct
+    assert sorted(r[:4] for r in got.select(*KEYS, "lsn").collect()) == sorted(
+        tuple(r) for r in want.select(*KEYS, "lsn").collect()
+    )
+    # lineage metrics recorded
+    assert os.path.getsize(tmp_path / "m.jsonl") > 0
+    assert all(m.max_lsn is not None and m.buckets_touched > 0 for m in metrics)
+
+
+def test_fencing_is_idempotent(spark, tmp_path, events):
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    replay_events(spark, table, events)
+    v = table.current_version()
+    before = state_hashes(read_state(spark, table))
+
+    # full re-replay: every batch fenced out, zero new snapshots
+    metrics = replay_events(spark, table, events)
+    assert metrics == []  # fence pre-filter skips all batches
+    m = merge_apply(spark, table, events.filter(F.col("batch_id") == 2), 2)
+    assert m.skipped
+    assert table.current_version() == v
+    assert state_hashes(read_state(spark, table)) == before
+
+
+def test_resume_mid_stream(spark, tmp_path, events):
+    """Kill after batch 1, restart from the fence: identical final state."""
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    first_two = events.filter(F.col("batch_id") <= 1)
+    replay_events(spark, table, first_two)
+    assert int(table.snapshot().properties[FENCE_PROP]) == 1
+
+    # "restart": replay the whole stream; only batches 2,3 apply
+    metrics = replay_events(spark, table, events)
+    assert [m.batch_id for m in metrics] == [2, 3]
+    assert state_hashes(read_state(spark, table)) == state_hashes(final_state_oracle(events))
+
+
+def test_deletes_leave_tombstones_blocking_late_arrivals(spark, tmp_path):
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=4)
+    schema = "lsn long, batch_id long, op string, repo string, path string, commit string, lang string, content string"
+    b0 = [
+        Row(lsn=1, batch_id=0, op="I", repo="r", path="p", commit="c1", lang="py", content="v1"),
+        Row(lsn=2, batch_id=0, op="I", repo="r", path="p", commit="c2", lang="py", content="x1"),
+    ]
+    b1 = [Row(lsn=10, batch_id=1, op="D", repo="r", path="p", commit="c1", lang=None, content=None)]
+    # late arrival: lsn 5 < the delete's lsn 10 -> must NOT resurrect c1;
+    # lsn 20 > c2's lsn 2 -> must update c2.
+    b2 = [
+        Row(lsn=5, batch_id=2, op="U", repo="r", path="p", commit="c1", lang="py", content="stale"),
+        Row(lsn=20, batch_id=2, op="U", repo="r", path="p", commit="c2", lang="py", content="x2"),
+    ]
+    for bid, rows in enumerate([b0, b1, b2]):
+        merge_apply(spark, table, spark.createDataFrame(rows, schema), bid)
+
+    state = {r["commit"]: r["content"] for r in read_state(spark, table).collect()}
+    assert state == {"c2": "x2"}
+
+
+def test_schema_evolution_additive_and_widening(spark, tmp_path):
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=4)
+    base = "lsn long, batch_id long, op string, repo string, path string, commit string, content string"
+    merge_apply(
+        spark,
+        table,
+        spark.createDataFrame([Row(lsn=1, batch_id=0, op="I", repo="r", path="p", commit="c1", content="v1")], base),
+        0,
+    )
+    # batch 1 introduces loc:int (additive)
+    s1 = T.StructType.fromDDL(base + ", loc int")
+    merge_apply(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(2, 1, "I", "r", "p", "c2", "v2", 7)], s1
+        ),
+        1,
+    )
+    # batch 2 widens loc to long and adds stars
+    s2 = T.StructType.fromDDL(base + ", loc long, stars long")
+    merge_apply(
+        spark,
+        table,
+        spark.createDataFrame([(3, 2, "I", "r", "p", "c3", "v3", 2**40, 5)], s2),
+        2,
+    )
+    got = read_state(spark, table)
+    assert got.schema["loc"].dataType == T.LongType()
+    assert got.schema["stars"].dataType == T.LongType()
+    rows = {r["commit"]: (r["content"], r["loc"], r["stars"]) for r in got.collect()}
+    # old rows read as null through the evolved schema, old int32 loc upcast
+    assert rows == {"c1": ("v1", None, None), "c2": ("v2", 7, None), "c3": ("v3", 2**40, 5)}
+
+
+def test_copy_on_write_touches_only_affected_buckets(spark, tmp_path, events):
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    replay_events(spark, table, events)
+    snap_before = table.snapshot()
+    # single-key batch -> exactly one bucket rewritten
+    one = spark.createDataFrame(
+        [Row(lsn=10**9, batch_id=99, op="I", repo="solo", path="p", commit="c", lang="py", content="z")],
+        "lsn long, batch_id long, op string, repo string, path string, commit string, lang string, content string",
+    )
+    m = merge_apply(spark, table, one, 99)
+    assert m.buckets_touched == 1
+    snap_after = table.snapshot()
+    changed = [b for b in range(8) if snap_before.files.get(b) != snap_after.files.get(b)]
+    assert len(changed) == 1
+    # time travel still sees the old state
+    assert read_state(spark, table, snap_before.version).filter(F.col("repo") == "solo").count() == 0
+    assert read_state(spark, table).filter(F.col("repo") == "solo").count() == 1
+
+
+def test_vacuum_keeps_current_state(spark, tmp_path, events):
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    replay_events(spark, table, events)
+    before = state_hashes(read_state(spark, table))
+    removed = table.vacuum(keep_versions=1)
+    assert removed > 0
+    assert state_hashes(read_state(spark, table)) == before
+
+
+def test_transform_stage_runs_before_merge(spark, tmp_path, events):
+    """A vectorized map stage (DocETL code_map analogue) enriches every
+    batch before the upsert."""
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    stage = lambda df: df.withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+    replay_events(spark, table, events, stages=[stage])
+    got = read_state(spark, table)
+    assert "content_sha" in got.columns
+    bad = got.filter(F.col("content_sha") != F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)).count()
+    assert bad == 0
