@@ -1,0 +1,65 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``knn_brute`` — exact cosine top-k: query-set broadcast cross join +
+  per-query TakeOrdered window. The correctness baseline; O(|Q|·|corpus|)
+  but fully distributed and shuffle-light (queries broadcast).
+* ``knn_lsh`` — the scale path: seeded random-hyperplane buckets with
+  multi-probe (flip each single bit), so a query only scans its own and
+  adjacent buckets: candidate set shrinks ~2^planes-fold. Falls back to
+  exact ranking within candidates.
+
+Both return (query id, neighbor id, cosine, rank<=k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from docetl_spark.functions.dedup import hyperplane_bucket
+from docetl_spark.functions.vectors import cosine, l2_normalize
+
+
+def knn_brute(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10,
+    query_id_col: str | None = None,
+) -> DataFrame:
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_nid") != F.col("_qid"))
+        .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), F.col("_nid").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
+    k: int = 10, planes: int = 8, seed: int = 42, query_id_col: str | None = None,
+) -> DataFrame:
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
+    c = c.withColumn("_bucket", hyperplane_bucket("_cv", dim, planes, seed))
+    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    qb = q.withColumn("_b0", hyperplane_bucket("_qv", dim, planes, seed))
+    # multi-probe: own bucket + every single-bit flip (planes+1 probes)
+    probes = F.array(F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(planes)])
+    qx = qb.select("_qid", "_qv", F.explode(probes).alias("_bucket"))
+    scored = (
+        c.join(qx, "_bucket")
+        .filter(F.col("_nid") != F.col("_qid"))
+        .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), F.col("_nid").alias("neighbor_id"), "cosine", "rank")
+    )

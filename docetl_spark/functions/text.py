@@ -1,0 +1,106 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+language ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting, and a deterministic full-text relevance score
+(the engine's stand-in for the reference's BM25 sampling,
+docetl/operations/sample.py:516-640). All Column expressions — these run
+in whole-stage codegen over 100 TB without touching Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (public common words). Enough for
+# a deterministic heuristic language id over {en, de, fr, es, pt, it}.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "del"],
+    "pt": ["o", "a", "os", "que", "é", "uma", "para", "com", "não", "dos"],
+    "it": ["il", "la", "che", "di", "è", "una", "per", "con", "non", "sono"],
+}
+
+_WORD_SPLIT = r"\\s+"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """A BPE-flavored token estimate: word-piece regex split (letters /
+    digits / punctuation runs) — deterministic, no tokenizer dependency."""
+    c = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda t: F.trim(t) != ""))
+
+
+def _marker_hits(toks: Column, words: list[str]) -> Column:
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, F.lower(t))))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language id: argmax of stopword-marker hit counts; 'und'
+    (undetermined) when nothing matches."""
+    toks = tokens(text)
+    pairs = [F.struct(_marker_hits(toks, ws).alias("hits"), F.lit(lang).alias("lang")) for lang, ws in _LANG_MARKERS.items()]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic document-quality heuristic in [0,1]: blend of length
+    band, alpha ratio, stopword presence and punctuation sanity — the
+    standard pre-training filter features (C4/Gopher-style rules)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    alpha_ratio = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / (n_chars + F.lit(1))
+    stop_ratio = _marker_hits(toks, _LANG_MARKERS["en"]) / (n_tok + F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / (n_chars + F.lit(1))
+    mean_word_len = (n_chars - n_tok + F.lit(1)) / (n_tok + F.lit(1))
+    len_band = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.2))
+    word_band = F.when((mean_word_len >= 2) & (mean_word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_band = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
+    raw = (
+        F.lit(0.3) * len_band
+        + F.lit(0.2) * word_band
+        + F.lit(0.15) * punct_band
+        + F.lit(0.2) * F.least(alpha_ratio * 1.25, F.lit(1.0))
+        + F.lit(0.15) * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return F.round(raw, 6)
+
+
+def fingerprint(text: Column | str, normalize: bool = True) -> Column:
+    """Document fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    if normalize:
+        c = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.xxhash64(c)
+
+
+def fts_score(text: Column, query: str) -> Column:
+    """Deterministic term-frequency relevance: sum over query terms of
+    tf(term) / (1 + log(1 + doc_len)). A seedless, corpus-independent
+    stand-in for the reference's BM25 ordering (sample.py:516-640) — same
+    monotonicity in tf, same length dampening, exactly reproducible in SQL
+    oracles."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n = F.size(toks) + F.lit(1)
+    terms = [t for t in query.lower().split() if t]
+    score = F.lit(0.0)
+    for t in terms:
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(t)))
+        score = score + tf / (F.lit(1.0) + F.log(F.lit(1.0) + n))
+    return score

@@ -1,0 +1,169 @@
+"""Reduce-family operators (SURVEY.md §2.3).
+
+Reference: docetl/operations/reduce.py (980 LoC) + code_reduce in
+code_operations.py:76-163. Three physical strategies map onto Spark:
+
+* batch reduce        -> ``groupBy(keys).applyInPandas`` (sort-agg per group)
+* ordered incremental -> same grouped apply, sorted inside the group, fold
+  loop over fixed-size chunks carrying a scratchpad (reduce.py:631-699)
+* parallel fold+merge -> two-level salted aggregation (skew.salted_agg),
+  legal iff associative (reduce.py:466-629) — Spark's partial/final shape.
+
+Conventions preserved: ``reduce_key`` may be a string, list, or ``_all``
+(one global group, reduce.py:118-119 in code_operations); list-VALUED key
+columns normalize to sorted tuples (reduce.py:267-270); ``pass_through``
+back-fills non-key columns from the group's first row (reduce.py:349-357);
+``_counts_prereduce_{name}`` carries the pre-aggregation group size
+(code_operations.py:159).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docetl_spark.schema import parse_output_schema
+
+ALL_KEY = "_all"
+
+GroupFn = Callable[[pd.DataFrame], dict]  # one group -> one output-row dict
+FoldFn = Callable[[dict, pd.DataFrame], dict]  # (scratchpad/state, chunk) -> new state
+
+
+def _norm_keys(reduce_key) -> list[str]:
+    if isinstance(reduce_key, str):
+        return [reduce_key]
+    return list(reduce_key)
+
+
+def _prep_groups(df: DataFrame, keys: list[str]) -> tuple[DataFrame, list[str]]:
+    """Handle ``_all`` (constant group) and list-valued key normalization."""
+    if keys == [ALL_KEY]:
+        return df.withColumn(ALL_KEY, F.lit(1)), [ALL_KEY]
+    gcols = []
+    for k in keys:
+        if isinstance(df.schema[k].dataType, T.ArrayType):
+            # order-insensitive list key: sorted-tuple normalization
+            df = df.withColumn(f"_norm_{k}", F.array_sort(F.col(k)))
+            gcols.append(f"_norm_{k}")
+        else:
+            gcols.append(k)
+    return df, gcols
+
+
+def code_reduce(
+    df: DataFrame,
+    reduce_key,
+    fn: GroupFn,
+    output_schema: T.StructType | Mapping[str, str],
+    name: str = "reduce",
+    pass_through: bool = False,
+    add_counts: bool = True,
+) -> DataFrame:
+    """Batch reduce: one output row per group via a pandas group function.
+
+    ``fn`` receives the whole group as a pd.DataFrame and returns a dict of
+    output values; reduce keys are back-filled from the group
+    (code_operations.py:154-157), ``pass_through`` copies remaining columns
+    from the group's first row.
+    """
+    keys = _norm_keys(reduce_key)
+    df2, gcols = _prep_groups(df, keys)
+    out_struct = (
+        output_schema if isinstance(output_schema, T.StructType) else parse_output_schema(dict(output_schema))
+    )
+
+    fields: list[T.StructField] = []
+    for k, g in zip(keys, gcols):
+        fields.append(T.StructField(k, df2.schema[g].dataType, True))
+    fields += [f for f in out_struct.fields if f.name not in keys]
+    if pass_through:
+        fields += [
+            f
+            for f in df.schema.fields
+            if f.name not in keys and f.name not in [x.name for x in fields]
+        ]
+    count_col = f"_counts_prereduce_{name}"
+    if add_counts:
+        fields.append(T.StructField(count_col, T.LongType(), True))
+    schema = T.StructType(fields)
+    key_pairs = list(zip(keys, gcols))
+    passthrough_cols = [f.name for f in df.schema.fields if f.name not in keys] if pass_through else []
+    out_names = [f.name for f in schema.fields]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = fn(pdf)
+        row = {}
+        for k, g in key_pairs:
+            row[k] = pdf[g].iloc[0]
+        for c in passthrough_cols:
+            row.setdefault(c, pdf[c].iloc[0])
+        row.update(res)
+        if add_counts:
+            row[count_col] = len(pdf)
+        return pd.DataFrame([{c: row.get(c) for c in out_names}])
+
+    return df2.groupBy(*gcols).applyInPandas(run, schema=schema)
+
+
+def reduce_fold(
+    df: DataFrame,
+    reduce_key,
+    fold_fn: FoldFn,
+    output_schema: T.StructType | Mapping[str, str],
+    order_col: str = "lsn",
+    fold_batch_size: int = 100,
+    init_state: dict | None = None,
+) -> DataFrame:
+    """Ordered incremental fold with scratchpad (reduce.py:631-699).
+
+    Each group is sorted by ``order_col`` inside the pandas function and
+    folded chunk-by-chunk of ``fold_batch_size`` rows; ``fold_fn`` carries
+    the scratchpad state forward (the non-commutative aggregation path —
+    order within the group is guaranteed regardless of partitioning, which
+    is what makes the result byte-stable across parallelism levels).
+    """
+    keys = _norm_keys(reduce_key)
+    df2, gcols = _prep_groups(df, keys)
+    out_struct = (
+        output_schema if isinstance(output_schema, T.StructType) else parse_output_schema(dict(output_schema))
+    )
+    fields = [T.StructField(k, df2.schema[g].dataType, True) for k, g in zip(keys, gcols)]
+    fields += [f for f in out_struct.fields if f.name not in keys]
+    schema = T.StructType(fields)
+    key_pairs = list(zip(keys, gcols))
+    out_names = [f.name for f in schema.fields]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        state = dict(init_state or {})
+        for start in range(0, len(pdf), fold_batch_size):
+            state = fold_fn(state, pdf.iloc[start : start + fold_batch_size])
+        row = {k: pdf[g].iloc[0] for k, g in key_pairs}
+        row.update(state)
+        return pd.DataFrame([{c: row.get(c) for c in out_names}])
+
+    return df2.groupBy(*gcols).applyInPandas(run, schema=schema)
+
+
+def reduce_merge(
+    df: DataFrame,
+    reduce_key,
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    output_schema: T.StructType | str,
+    salts: int = 32,
+) -> DataFrame:
+    """Associative parallel fold + hierarchical merge (reduce.py:466-629,
+    ``associative: true``): the two-level salted aggregation — partial fold
+    on (key, salt) slices, merge per key. Explicit skew handling: a hot
+    group fans out over ``salts`` tasks. See operators/skew.py."""
+    from docetl_spark.operators.skew import salted_agg
+
+    keys = _norm_keys(reduce_key)
+    df2, gcols = _prep_groups(df, keys)
+    return salted_agg(df2, gcols, partial_fn, merge_fn, output_schema, salts=salts)

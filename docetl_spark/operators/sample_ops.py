@@ -1,0 +1,159 @@
+"""Sample + topk operators (SURVEY.md §2.6).
+
+Reference: docetl/operations/sample.py (uniform/first/custom/outliers/
+top_embedding/top_fts, stratified variants) and topk.py (facade).
+Deterministic by construction: "random" sampling orders by a seeded hash —
+the same rows win at any parallelism (sklearn's train_test_split in the
+reference is seeded too; a hash order is the distributed equivalent).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docetl_spark.functions.vectors import cosine_sim_col
+
+
+def _hash_order(df: DataFrame, seed: int) -> F.Column:
+    return F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+
+
+def sample(
+    df: DataFrame,
+    method: str = "uniform",
+    samples: int | float | Sequence[dict] | None = None,
+    seed: int = 42,
+    stratify_key: str | None = None,
+    samples_per_group: int | None = None,
+    # outliers / top_embedding kwargs
+    embedding_col: str | None = None,
+    query_vec: Sequence[float] | None = None,
+    std: float | None = None,
+    keep: str = "inside",
+) -> DataFrame:
+    """Down-sample rows (sample.py:12-682).
+
+    Methods: ``uniform`` (int count or float fraction, seeded),
+    ``first`` (head-n in hash order — deterministic), ``custom`` (keep rows
+    matching a list of key dicts, via broadcast semi-join),
+    ``outliers`` (distance from the embedding centroid, cutoff by ``std``
+    stddevs; keep inside/outside), ``top_embedding`` handled by ``topk``.
+    Stratification: ``stratify_key`` + int/fraction or ``samples_per_group``.
+    """
+    if method == "uniform":
+        if stratify_key and samples_per_group:
+            w = Window.partitionBy(stratify_key).orderBy(_hash_order(df, seed))
+            return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= samples_per_group).drop("_rn")
+        if isinstance(samples, float):
+            if stratify_key:
+                fracs = {r[0]: samples for r in df.select(stratify_key).distinct().collect()}
+                return df.sampleBy(stratify_key, fractions=fracs, seed=seed)
+            return df.sample(fraction=samples, seed=seed)
+        # exact-count deterministic sample: global sort by seeded hash, take n
+        return df.orderBy(_hash_order(df, seed)).limit(int(samples))
+    if method == "first":
+        return df.limit(int(samples))
+    if method == "custom":
+        if not samples:
+            raise ValueError("custom sampling needs a list of key dicts")
+        keys = list(samples[0].keys())
+        spark = df.sparkSession
+        lookup = spark.createDataFrame([tuple(s[k] for k in keys) for s in samples], ", ".join(f"{k} {_ddl(df, k)}" for k in keys))
+        return df.join(F.broadcast(lookup), on=keys, how="left_semi")
+    if method == "outliers":
+        if embedding_col is None:
+            raise ValueError("outliers needs embedding_col")
+        center = df.agg(
+            *[F.avg(F.element_at(F.col(embedding_col), i + 1)).alias(f"c{i}") for i in range(_dim(df, embedding_col))]
+        ).collect()[0]
+        cvec = [float(x) for x in center]
+        dist = _l2_dist_col(embedding_col, cvec)
+        scored = df.withColumn("_dist", dist)
+        if std is not None:
+            stats = scored.agg(F.avg("_dist").alias("m"), F.stddev_pop("_dist").alias("s")).collect()[0]
+            cutoff = float(stats["m"]) + float(std) * float(stats["s"] or 0.0)
+        else:
+            n = int(samples)
+            cutoff_row = scored.orderBy("_dist").limit(n).agg(F.max("_dist")).collect()[0]
+            cutoff = float(cutoff_row[0])
+        cond = F.col("_dist") <= cutoff if keep == "inside" else F.col("_dist") > cutoff
+        return scored.filter(cond).drop("_dist")
+    raise ValueError(f"unknown sample method {method!r}")
+
+
+def _ddl(df: DataFrame, col: str) -> str:
+    return df.schema[col].dataType.simpleString()
+
+
+def _dim(df: DataFrame, col: str) -> int:
+    row = df.select(F.size(F.col(col)).alias("n")).first()
+    return int(row["n"])
+
+
+def _l2_dist_col(embedding_col: str, center: list[float]) -> F.Column:
+    """JVM-side L2 distance to a constant vector via zip_with + aggregate."""
+    cvec = F.array(*[F.lit(float(x)) for x in center])
+    sq = F.zip_with(F.col(embedding_col), cvec, lambda a, b: (a - b) * (a - b))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def topk(
+    df: DataFrame,
+    k: int | float,
+    method: str = "score",
+    score_col: str | F.Column | None = None,
+    direction: str = "desc",
+    stratify_key: str | None = None,
+    # embedding method
+    embedding_col: str | None = None,
+    query_vec: Sequence[float] | None = None,
+    # fts method
+    text_col: str | None = None,
+    query: str | None = None,
+    name: str = "topk",
+) -> DataFrame:
+    """Top-k rows by a score (topk.py:12-235 facade).
+
+    Methods: ``score`` (existing column/expression), ``embedding``
+    (cosine similarity to ``query_vec``), ``fts`` (deterministic tf-based
+    text relevance — see functions.text.fts_score). Adds ``_{name}_rank``
+    and ``_{name}_score``; fractional k = ceil(fraction * rows per stratum).
+    Implemented as rank-over-window ≤ k: one shuffle, no global sort when
+    stratified.
+    """
+    if method == "score":
+        score = F.col(score_col) if isinstance(score_col, str) else score_col
+    elif method == "embedding":
+        score = cosine_sim_col(embedding_col, list(query_vec))
+    elif method == "fts":
+        from docetl_spark.functions.text import fts_score
+
+        score = fts_score(F.col(text_col), query)
+    else:
+        raise ValueError(f"unknown topk method {method!r}")
+
+    scored = df.withColumn(f"_{name}_score", score.cast("double"))
+    order = F.col(f"_{name}_score").desc() if direction == "desc" else F.col(f"_{name}_score").asc()
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+
+    if stratify_key:
+        w = Window.partitionBy(stratify_key).orderBy(order, tiebreak)
+        ranked = scored.withColumn(f"_{name}_rank", F.row_number().over(w))
+        if isinstance(k, float) and 0 < k < 1:
+            counts = df.groupBy(stratify_key).agg(F.count(F.lit(1)).alias("_n"))
+            ranked = ranked.join(F.broadcast(counts), on=stratify_key)
+            return ranked.filter(F.col(f"_{name}_rank") <= F.ceil(F.lit(k) * F.col("_n"))).drop("_n")
+        return ranked.filter(F.col(f"_{name}_rank") <= int(k))
+
+    # Global top-k: orderBy().limit() compiles to TakeOrderedAndProject —
+    # per-partition heaps + a k-row merge, never a single-task global sort.
+    if isinstance(k, float) and 0 < k < 1:
+        k = max(1, math.ceil(k * df.count()))
+    top = scored.orderBy(order, tiebreak).limit(int(k))
+    return top.withColumn(f"_{name}_rank", F.row_number().over(Window.orderBy(order, tiebreak)))

@@ -1,0 +1,139 @@
+"""Split + gather operators (SURVEY.md §2.5).
+
+Reference: docetl/operations/split.py (token_count / delimiter chunking)
+and docetl/operations/gather.py (peripheral-context re-rendering).
+
+* ``split`` chunks inside a scalar pandas UDF (one Arrow batch per ~10k
+  docs, no shuffle) and explodes with ``posexplode`` — chunk ids are
+  content-derived hashes, not uuid4 (split.py:74), so replays are
+  byte-stable.
+* ``gather`` is a grouped apply: each document's chunks sort by
+  ``order_key`` inside the group and render with head/middle/tail
+  peripheral sections and skipped-character markers (gather.py:113-260
+  semantics).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOKEN_RE = re.compile(r"\S+\s*")
+
+
+def _token_chunks(text: str, num_tokens: int) -> list[str]:
+    toks = _TOKEN_RE.findall(text or "")
+    return ["".join(toks[i : i + num_tokens]) for i in range(0, len(toks), num_tokens)] or [""]
+
+
+def _delim_chunks(text: str, delimiter: str, group: int) -> list[str]:
+    parts = (text or "").split(delimiter)
+    return [delimiter.join(parts[i : i + group]) for i in range(0, len(parts), group)]
+
+
+def split(
+    df: DataFrame,
+    split_key: str,
+    method: str = "token_count",
+    num_tokens: int = 100,
+    delimiter: str = "\n\n",
+    num_splits_to_group: int = 1,
+    name: str = "split",
+) -> DataFrame:
+    """One row per chunk; adds ``{split_key}_chunk``, ``{name}_id`` (stable
+    per source document), ``{name}_chunk_num`` (1-based)."""
+    if method == "token_count":
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def chunker(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: _token_chunks(t, num_tokens))
+
+    elif method == "delimiter":
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def chunker(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: _delim_chunks(t, delimiter, num_splits_to_group))
+
+    else:
+        raise ValueError(f"unknown split method {method!r}")
+
+    doc_id = F.sha2(F.coalesce(F.col(split_key), F.lit("")), 256)
+    out = (
+        df.withColumn(f"{name}_id", doc_id)
+        .withColumn("_chunks", chunker(F.col(split_key)))
+        .select(
+            *[c for c in df.columns],
+            f"{name}_id",
+            F.posexplode("_chunks").alias("_pos", f"{split_key}_chunk"),
+        )
+        .withColumn(f"{name}_chunk_num", (F.col("_pos") + 1).cast("int"))
+        .drop("_pos")
+    )
+    return out
+
+
+def _render_side(chunks: list[tuple[int, str]], cfg: dict, label: str) -> list[str]:
+    """Head/middle/tail rendering with a skipped-characters marker
+    (gather.py peripheral_chunks semantics)."""
+    if not chunks:
+        return []
+    head_n = int(cfg.get("head", {}).get("count", 0))
+    tail_n = int(cfg.get("tail", {}).get("count", 0))
+    head = chunks[:head_n] if head_n else []
+    tail = chunks[len(head) :][-tail_n:] if tail_n else []
+    middle = chunks[len(head) : len(chunks) - len(tail)]
+    lines = [f"--- {label} Context ---"]
+    for _, c in head:
+        lines.append(c)
+    if middle:
+        skipped = sum(len(c) for _, c in middle)
+        lines.append(f"[... {skipped} characters skipped ...]")
+    for _, c in tail:
+        lines.append(c)
+    lines.append(f"--- End {label} Context ---")
+    return lines
+
+
+def gather(
+    df: DataFrame,
+    content_key: str,
+    doc_id_key: str,
+    order_key: str,
+    peripheral_chunks: dict | None = None,
+    doc_header_key: str | None = None,
+    main_chunk_start: str = "--- Begin Main Chunk ---",
+    main_chunk_end: str = "--- End Main Chunk ---",
+) -> DataFrame:
+    """Re-attach surrounding context to each chunk; adds
+    ``{content_key}_rendered``. Groups shuffle once by document id; the
+    render is pandas inside the group (document-local, bounded memory)."""
+    peripheral = peripheral_chunks or {"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}}
+    out_field = f"{content_key}_rendered"
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(out_field, T.StringType(), True)])
+    cols = [f.name for f in schema.fields]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_key, kind="mergesort").reset_index(drop=True)
+        texts = pdf[content_key].fillna("").tolist()
+        rendered = []
+        for i in range(len(pdf)):
+            parts: list[str] = []
+            if doc_header_key and doc_header_key in pdf.columns and pd.notna(pdf[doc_header_key].iloc[i]):
+                parts.append(str(pdf[doc_header_key].iloc[i]))
+            prev = list(enumerate(texts[:i]))
+            nxt = list(enumerate(texts[i + 1 :], start=i + 1))
+            if "previous" in peripheral:
+                parts += _render_side(prev, peripheral["previous"], "Previous")
+            parts += [main_chunk_start, texts[i], main_chunk_end]
+            if "next" in peripheral:
+                parts += _render_side(nxt, peripheral["next"], "Next")
+            rendered.append("\n".join(parts))
+        pdf[out_field] = rendered
+        return pdf[cols]
+
+    return df.groupBy(doc_id_key).applyInPandas(run, schema=schema)

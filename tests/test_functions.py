@@ -1,0 +1,171 @@
+"""Training-data pipeline toolkit: dedup, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from docetl_spark.functions.ann import knn_brute, knn_lsh
+from docetl_spark.functions.dedup import (
+    dedup_by_pairs,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from docetl_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    fts_score,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from docetl_spark.functions import multimodal
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                       # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),   # near dup of 0
+        (3, "completely different text about spark execution engines and shuffles here"),
+        (4, "  THE  quick brown fox jumps over the lazy dog and runs far away into the woods tonight "),  # normalized dup
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs, "text")
+    assert out.count() == 3  # {base, near-dup, different}
+    # deterministic winner: min struct -> lowest id kept
+    assert 0 in {r["id"] for r in out.collect()}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, "id", "text", num_hashes=32, bands=16, threshold=0.5)
+    got = {(r["_id1"], r["_id2"]) for r in pairs.collect()}
+    assert (0, 1) in got          # exact dup
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    assert not any(3 in p for p in got)    # different doc never pairs
+    deduped = dedup_by_pairs(docs, "id", pairs)
+    assert deduped.count() < docs.count()
+    assert 3 in {r["id"] for r in deduped.collect()}
+
+
+def test_simhash_near_dup_and_determinism(spark, docs):
+    sh = docs.select("id", simhash("text").alias("h"))
+    vals = {r["id"]: r["h"] for r in sh.collect()}
+    vals2 = {r["id"]: r["h"] for r in docs.select("id", simhash("text").alias("h")).collect()}
+    assert vals == vals2  # blake2b-based, not process-salted
+    ham01 = bin(vals[0] ^ vals[1]).count("1")
+    ham03 = bin(vals[0] ^ vals[3]).count("1")
+    assert ham01 == 0 and ham03 > 10
+    pairs = simhash_pairs(docs, "id", "text", max_hamming=3)
+    assert (0, 1) in {(r["_id1"], r["_id2"]) for r in pairs.collect()}
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, "id", "text", shingle_n=3, threshold=0.5)
+    rows = {(r["_id1"], r["_id2"]): r["jaccard"] for r in pairs.collect()}
+    assert rows[(0, 1)] == 1.0
+    assert any(p in rows for p in [(0, 2), (1, 2)])
+
+
+def test_embedding_dup_pairs_and_knn(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(8)
+    rows = [
+        (0, (base / np.linalg.norm(base)).tolist()),
+        (1, (base / np.linalg.norm(base) + 0.001).tolist()),  # near dup
+        (2, rng.randn(8).tolist()),
+        (3, rng.randn(8).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    pairs = embedding_dup_pairs(df, "id", "embedding", dim=8, threshold=0.99)
+    assert {(r["_id1"], r["_id2"]) for r in pairs.collect()} == {(0, 1)}
+
+    nn = knn_brute(df, df.filter("id = 0"), "id", "embedding", k=2)
+    got = [r["neighbor_id"] for r in nn.orderBy("rank").collect()]
+    assert got[0] == 1
+
+    nn2 = knn_lsh(df, df.filter("id = 0"), "id", "embedding", dim=8, k=2, planes=6)
+    assert [r["neighbor_id"] for r in nn2.orderBy("rank").collect()][0] == 1
+
+
+def test_knn_on_testdata_embeddings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(3)
+    out = knn_brute(emb, q, "vec_id", "embedding", k=5)
+    assert out.count() == 15
+    assert out.filter(F.col("cosine") > 1.0001).count() == 0
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog, it is in the house for now",),
+         ("der hund ist nicht auf der straße und das haus",),
+         ("zzz qqq xxx",)],
+        "text string",
+    )
+    rows = df.select(
+        lang_id("text").alias("lang"),
+        token_count("text").alias("n"),
+        bpe_ish_token_count("text").alias("bpe"),
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+    ).collect()
+    assert rows[0]["lang"] == "en" and rows[1]["lang"] == "de" and rows[2]["lang"] == "und"
+    assert rows[0]["n"] == 12
+    assert rows[0]["bpe"] >= rows[0]["n"]
+    assert 0.0 <= rows[2]["q"] < rows[0]["q"] <= 1.0
+    assert isinstance(rows[0]["fp"], int)
+
+
+def test_fts_score_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark spark shuffle"), (2, "spark shuffle"), (3, "no match here")],
+        "id long, text string",
+    )
+    rows = df.select("id", fts_score(F.col("text"), "spark").alias("s")).orderBy(F.desc("s")).collect()
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert rows[2]["s"] == 0.0
+
+
+def test_multimodal_stub_and_plumbing(spark):
+    data = [
+        Row(id=1, blob=bytes([1, 2, 3, 4]), meta=Row(media_type="image", format="fake",
+            width=2, height=2, duration_ms=None, sample_rate=None)),
+        Row(id=2, blob=bytes([10, 20]), meta=Row(media_type="video", format="fake",
+            width=None, height=None, duration_ms=3500, sample_rate=None)),
+    ]
+    schema = multimodal.T.StructType([
+        multimodal.T.StructField("id", multimodal.T.LongType()),
+        multimodal.T.StructField("blob", multimodal.T.BinaryType()),
+        multimodal.T.StructField("meta", multimodal.MEDIA_META),
+    ])
+    df = spark.createDataFrame(data, schema)
+
+    multimodal.set_decoder(None)
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(df, "blob", "meta").collect()
+    assert "NotImplementedError" in str(ei.value) or "no media codec" in str(ei.value)
+
+    multimodal.set_decoder(lambda b, fmt: np.frombuffer(b, dtype=np.uint8))
+    try:
+        out = multimodal.extract_features(df, "blob", "meta")
+        row = {r["id"]: r["feat_mean"] for r in out.collect()}
+        assert row[1] == 2.5 and row[2] == 15.0
+    finally:
+        multimodal.set_decoder(None)
+
+    frames = multimodal.frame_sample(df.filter("id = 2"), "blob", "meta", every_ms=1000)
+    assert frames.count() == 3
+    assert [r["frame_ts_ms"] for r in frames.orderBy("frame_ts_ms").collect()] == [0, 1000, 2000]

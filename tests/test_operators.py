@@ -1,0 +1,263 @@
+"""Operator library tests mirroring the reference's deterministic suite
+(SURVEY.md §5 cat.2: exact golden asserts, zero LLM cost), on FIXTURES.md
+F3 fixtures."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docetl_spark.operators import (
+    add_uuid,
+    code_filter,
+    code_map,
+    code_reduce,
+    drop_keys,
+    equijoin,
+    extract_regex,
+    gather,
+    parallel_map,
+    rank,
+    reduce_fold,
+    reduce_merge,
+    resolve,
+    sample,
+    split,
+    topk,
+    unnest,
+)
+
+
+@pytest.fixture(scope="module")
+def groups_values(spark):
+    # FIXTURES F3: tests/basic/test_basic_reduce_resolve.py:20-28
+    return spark.createDataFrame(
+        [("A", 10), ("B", 20), ("A", 15), ("C", 30), ("B", 25)], "group string, value long"
+    )
+
+
+def test_code_map_exprs_and_pandas(spark):
+    df = spark.createDataFrame([("hello world. bye.",), ("one. two. three.",)], "text string")
+    out = code_map(df, exprs={"n_chars": F.length("text")})
+    assert [r["n_chars"] for r in out.orderBy("text").collect()] == [17, 16]
+
+    out2 = code_map(
+        df,
+        fn=lambda pdf: pd.DataFrame({"n_sentences": pdf["text"].str.count(r"\.")}),
+        output_schema={"n_sentences": "int"},
+    )
+    got = {r["text"]: r["n_sentences"] for r in out2.collect()}
+    assert got == {"hello world. bye.": 2, "one. two. three.": 3}
+
+
+def test_parallel_map_disjoint_branches(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "cde")], "id long, s string")
+    out = parallel_map(df, [{"double_id": F.col("id") * 2}, {"slen": F.length("s")}])
+    rows = {r["id"]: (r["double_id"], r["slen"]) for r in out.collect()}
+    assert rows == {1: (2, 2), 2: (4, 3)}
+    with pytest.raises(ValueError):
+        parallel_map(df, [{"x": F.lit(1)}, {"x": F.lit(2)}])
+
+
+def test_code_filter_and_drop_keys(spark):
+    df = spark.createDataFrame([(1, "keep"), (2, "drop")], "id long, s string")
+    assert code_filter(df, F.col("s") == "keep").count() == 1
+    assert code_filter(df, lambda pdf: pdf["s"] == "keep").count() == 1
+    assert drop_keys(df, ["s"]).columns == ["id"]
+
+
+def test_add_uuid_deterministic(spark):
+    df = spark.createDataFrame([("x",), ("y",)], "v string")
+    a = sorted(r["doc_id"] for r in add_uuid(df).collect())
+    b = sorted(r["doc_id"] for r in add_uuid(df).collect())
+    assert a == b and len(set(a)) == 2
+
+
+def test_code_reduce_three_groups(spark, groups_values):
+    out = code_reduce(
+        groups_values, "group", lambda g: {"total": int(g["value"].sum())}, {"total": "int"}, name="r"
+    )
+    rows = {r["group"]: (r["total"], r["_counts_prereduce_r"]) for r in out.collect()}
+    assert rows == {"A": (25, 2), "B": (45, 2), "C": (30, 1)}
+
+
+def test_code_reduce_all(spark, groups_values):
+    out = code_reduce(groups_values, "_all", lambda g: {"total": int(g["value"].sum())}, {"total": "int"})
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["total"] == 100
+
+
+def test_code_reduce_list_valued_keys_normalize(spark):
+    # reference: list keys -> order-insensitive sorted tuples (reduce.py:267-270)
+    df = spark.createDataFrame(
+        [Row(content="a", tags=["x", "y"]), Row(content="b", tags=["y", "x"]), Row(content="c", tags=["z"])]
+    )
+    out = code_reduce(df, ["tags"], lambda g: {"n": len(g)}, {"n": "int"})
+    rows = sorted((tuple(r["tags"]), r["n"]) for r in out.collect())
+    assert rows == [(("x", "y"), 2), (("z",), 1)]
+
+
+def test_code_reduce_pass_through(spark, groups_values):
+    out = code_reduce(
+        groups_values, "group", lambda g: {"total": int(g["value"].sum())}, {"total": "int"}, pass_through=True
+    )
+    assert "value" in out.columns  # first row's value carried through
+
+
+def test_reduce_fold_ordered_scratchpad(spark):
+    # non-commutative fold: string concat in lsn order must be identical
+    # at any parallelism (SURVEY §7.3 risk 1/3)
+    df = spark.createDataFrame(
+        [("g", i, chr(ord("a") + i)) for i in range(10)], "g string, lsn long, ch string"
+    ).repartition(8)
+
+    def fold(state, chunk):
+        return {"seq": state.get("seq", "") + "".join(chunk["ch"])}
+
+    out = reduce_fold(df, "g", fold, {"seq": "string"}, order_col="lsn", fold_batch_size=3)
+    assert out.collect()[0]["seq"] == "abcdefghij"
+
+
+def test_reduce_merge_salted_associative(spark, groups_values):
+    def partial(pdf):
+        return pd.DataFrame([{"group": pdf["group"].iloc[0], "total": int(pdf["value"].sum())}])
+
+    def merge(pdf):
+        return pd.DataFrame([{"group": pdf["group"].iloc[0], "total": int(pdf["total"].sum())}])
+
+    out = reduce_merge(groups_values, "group", partial, merge, "group string, total long", salts=4)
+    rows = {r["group"]: r["total"] for r in out.collect()}
+    assert rows == {"A": 25, "B": 45, "C": 30}
+
+
+def test_unnest_list_and_struct(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, tags=["a", "b"]), Row(id=2, tags=[])],
+        "id long, tags array<string>",
+    )
+    assert unnest(df, "tags").count() == 2
+    out = unnest(df, "tags", keep_empty=True)
+    rows = sorted((r["id"], r["tags"]) for r in out.collect())
+    assert rows == [(1, "a"), (1, "b"), (2, None)]
+
+    df2 = spark.createDataFrame(
+        [Row(id=1, user=Row(name="n1", age=3))],
+        "id long, user struct<name: string, age: long>",
+    )
+    out2 = unnest(df2, "user", expand_fields=["name"])
+    assert out2.columns == ["id", "user", "name"]
+    assert out2.collect()[0]["name"] == "n1"
+
+
+def test_split_token_and_delimiter_roundtrip(spark):
+    text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame([(text,)], "body string")
+    out = split(df, "body", method="token_count", num_tokens=10, name="sp").orderBy("sp_chunk_num")
+    chunks = [r["body_chunk"] for r in out.collect()]
+    assert len(chunks) == 3
+    assert "".join(chunks).strip() == text
+    assert [r["sp_chunk_num"] for r in out.collect()] == [1, 2, 3]
+
+    df2 = spark.createDataFrame([("a\n\nb\n\nc\n\nd",)], "body string")
+    out2 = split(df2, "body", method="delimiter", delimiter="\n\n", num_splits_to_group=2)
+    assert [r["body_chunk"] for r in out2.orderBy("split_chunk_num").collect()] == ["a\n\nb", "c\n\nd"]
+
+
+def test_gather_renders_context(spark):
+    df = spark.createDataFrame(
+        [("d", i, f"chunk{i}") for i in range(4)], "doc string, num long, body string"
+    )
+    out = gather(df, "body", "doc", "num",
+                 peripheral_chunks={"previous": {"head": {"count": 1}, "tail": {"count": 1}}, "next": {"head": {"count": 1}}})
+    r = {row["num"]: row["body_rendered"] for row in out.collect()}
+    assert "--- Begin Main Chunk ---\nchunk2" in r[2]
+    assert "chunk1" in r[2] and "chunk3" in r[2]  # tail-prev + head-next
+    assert "characters skipped" in r[3]  # head=chunk0, middle=chunk1 skipped, tail=chunk2
+
+
+def test_sample_methods(spark):
+    df = spark.createDataFrame([(i, "g" + str(i % 2)) for i in range(100)], "id long, g string")
+    assert sample(df, "uniform", samples=10, seed=1).count() == 10
+    assert sample(df, "uniform", samples=10, seed=1).collect() == sample(df, "uniform", samples=10, seed=1).collect()
+    assert sample(df, "first", samples=5).count() == 5
+    assert sample(df, "custom", samples=[{"id": 3}, {"id": 7}]).count() == 2
+    per_group = sample(df, "uniform", stratify_key="g", samples_per_group=4)
+    assert per_group.groupBy("g").count().collect()[0]["count"] == 4
+
+
+def test_sample_outliers(spark):
+    rows = [(i, [0.0, 0.0]) for i in range(20)] + [(99, [100.0, 100.0])]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    out = sample(df, "outliers", embedding_col="emb", std=1.0, keep="outside")
+    assert [r["id"] for r in out.collect()] == [99]
+
+
+def test_topk_score_embedding_fts(spark):
+    df = spark.createDataFrame([(i, float(i), [float(i), 0.0], f"word{i} common") for i in range(10)],
+                               "id long, s double, emb array<double>, text string")
+    top = topk(df, 3, method="score", score_col="s")
+    assert sorted(r["id"] for r in top.collect()) == [7, 8, 9]
+    assert [r["_topk_rank"] for r in top.orderBy("_topk_rank").collect()] == [1, 2, 3]
+
+    eq = topk(df, 1, method="embedding", embedding_col="emb", query_vec=[1.0, 0.0])
+    assert eq.count() == 1
+
+    ft = topk(df, 2, method="fts", text_col="text", query="word3")
+    assert ft.orderBy("_topk_rank").collect()[0]["id"] == 3
+
+    # stratified + fractional
+    strat = topk(df.withColumn("g", F.col("id") % 2), 0.5, method="score", score_col="s", stratify_key="g")
+    assert strat.count() == 6  # ceil(0.5*5)=3 per stratum
+
+
+def test_rank_total_order(spark):
+    df = spark.createDataFrame([(i, float(100 - i)) for i in range(10)], "id long, s double")
+    out = rank(df, "s", direction="desc", name="r")
+    rows = out.orderBy("_r_rank").collect()
+    assert [r["id"] for r in rows][:3] == [0, 1, 2]
+    assert rows[0]["_r_rank"] == 1
+
+
+def test_equijoin_limits_and_suffixes(spark):
+    left = spark.createDataFrame([(1, "l1"), (2, "l2")], "id long, name string")
+    right = spark.createDataFrame([(1, "r1"), (1, "r1b"), (3, "r3")], "user_id long, name string")
+    out = equijoin(left, right, condition=F.col("id") == F.col("user_id"))
+    assert {"name_left", "name_right"} <= set(out.columns)
+    assert out.count() == 2
+    lim = equijoin(left, right, condition=F.col("id") == F.col("user_id"), limit_left=1)
+    assert lim.count() == 1
+    ver = equijoin(left, right, condition=F.col("id") == F.col("user_id"),
+                   verify=F.col("name_right") == "r1b")
+    assert ver.count() == 1
+
+
+def test_resolve_majority_vote(spark):
+    # FIXTURES people_dupes: same email blocks, majority name wins
+    df = spark.createDataFrame(
+        [("John Doe", "j@x.com"), ("John Doe", "j@x.com"), ("John D.", "j@x.com"), ("Jane", "jane@x.com")],
+        "name string, email string",
+    )
+    out = resolve(df, blocking_keys=["email"], canonical_cols=["name"])
+    got = out.select("name", "email", "_cluster_id").collect()
+    names = {r["email"]: r["name"] for r in got}
+    assert names["j@x.com"] == "John Doe"  # majority among 3
+    assert out.count() == 4  # all rows kept, canonicalized
+    assert out.select("_cluster_id").distinct().count() == 2
+    assert out.select("name").distinct().count() == 2  # fewer distinct than input (ref assert)
+
+
+def test_resolve_with_compare_predicate(spark):
+    df = spark.createDataFrame(
+        [("apple iphone", "e1"), ("apple iphone x", "e1"), ("banana", "e1")],
+        "title string, block string",
+    )
+    comp = F.substring(F.col("title_1"), 1, 5) == F.substring(F.col("title_2"), 1, 5)
+    out = resolve(df, blocking_keys=["block"], compare=comp, canonical_cols=["title"])
+    assert out.select("_cluster_id").distinct().count() == 2
+
+
+def test_extract_regex(spark):
+    df = spark.createDataFrame([("call 555-1234 or 555-9876",)], "text string")
+    out = extract_regex(df, ["text"], r"\d{3}-\d{4}", name="phones")
+    assert out.collect()[0]["text_extracted_phones"] == "555-1234\n555-9876"
