@@ -1,38 +1,689 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: replay the sf0.001 events table as a CDC
+change stream through the lake-table merge-apply engine and return the
+final upserted state.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (plus the training-data toolkit), each checked against a
+DuckDB oracle on the same parquet tables. Aggregate/computed columns are
+aliased identically on both sides; floats are rounded on both sides so the
+driver's value-hash comparison is stable across engines.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: CDC merge-apply replay over the events table
+# ---------------------------------------------------------------------------
+
+def _events_as_changes(events: DataFrame, batch_size: int = 2500) -> DataFrame:
+    """Shape the events table as a binlog: lsn=event_id, key=user_id,
+    op=D when event_type='error' (an 'account wipe'), else upsert."""
+    return events.select(
+        F.col("event_id").alias("lsn"),
+        (F.col("event_id") / batch_size).cast("long").alias("batch_id"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+def q_cdc_merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.cdc import create_cdc_table, read_state, replay_events
+
+    events = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="cdc_lww_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["user_id"], num_buckets=16)
+    replay_events(spark, table, _events_as_changes(events))
+    state = read_state(spark, table)
+    return state.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 2).alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
+ORACLE_CDC = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_id AS last_lsn,
+       event_type AS last_event_type,
+       round(value, 2) AS last_value,
+       props AS last_props
+FROM (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+)
+WHERE event_type <> 'error'
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdc_merge_lww(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# classic analytics (scan / filter / agg / join / window — pushdown checks)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import topk
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    top = topk(rev, 10, method="score", score_col="revenue", tiebreak_cols=["o_orderkey"], name="t")
+    return top.select("o_orderkey", "revenue", F.col("_t_rank").alias("rk"))
+
+
+ORACLE_Q3 = """
+SELECT o_orderkey, revenue, CAST(row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS INT) AS rk
+FROM (
+  SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15'
+        AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY o_orderkey
+) ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_NATION = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+ORACLE_PROPS = """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), F.col("rn").cast("int").alias("rn"))
+    )
+
+
+ORACLE_TOP_EVENTS = """
+SELECT user_id, event_id, round(value, 2) AS value, CAST(rn AS INT) AS rn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events WHERE user_id < 50
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# reduce family: grouped apply, ordered fold, salted associative merge
+# ---------------------------------------------------------------------------
+
+def q_code_reduce_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import code_reduce
+
+    ev = _t(spark, sf_dir, "events")
+    out = code_reduce(
+        ev.select("event_type", "value"),
+        "event_type",
+        lambda g: {"total_value": round(float(g["value"].sum()), 3), "n_distinct_values": int(g["value"].nunique())},
+        {"total_value": "float", "n_distinct_values": "int"},
+        name="agg",
+    )
+    return out.select(
+        "event_type", "total_value", "n_distinct_values", F.col("_counts_prereduce_agg").alias("n_rows")
+    )
+
+
+ORACLE_CODE_REDUCE = """
+SELECT event_type, round(sum(value), 3) AS total_value,
+       count(DISTINCT value) AS n_distinct_values, count(*) AS n_rows
+FROM events GROUP BY event_type
+"""
+
+
+def q_fold_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import reduce_fold
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40).select("user_id", F.col("event_id").alias("lsn"), "event_type")
+
+    def fold(state, chunk):
+        return {"seq": state.get("seq", "") + "".join(chunk["event_type"])}
+
+    return reduce_fold(ev, "user_id", fold, {"seq": "string"}, order_col="lsn", fold_batch_size=7)
+
+
+ORACLE_FOLD = """
+SELECT user_id, string_agg(event_type, '' ORDER BY event_id) AS seq
+FROM events WHERE user_id < 40 GROUP BY user_id
+"""
+
+
+def q_reduce_merge_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import reduce_merge
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"event_type": pdf["event_type"].iloc[0], "total": float(pdf["value"].sum()), "n": len(pdf)}])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"event_type": pdf["event_type"].iloc[0], "total": float(pdf["total"].sum()), "n": int(pdf["n"].sum())}])
+
+    out = reduce_merge(ev, "event_type", partial, merge, "event_type string, total double, n long", salts=8)
+    return out.select("event_type", F.round("total", 3).alias("total"), "n")
+
+
+ORACLE_MERGE_SALTED = """
+SELECT event_type, round(sum(value), 3) AS total, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# joins & entity resolution
+# ---------------------------------------------------------------------------
+
+def q_equijoin_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import equijoin
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    out = equijoin(
+        orders, cust,
+        condition=F.col("o_custkey") == F.col("c_custkey"),
+        verify=F.col("o_totalprice") > 400000,
+        broadcast_right=True,
+    )
+    return out.select("o_orderkey", "c_custkey", "c_name", F.round("o_totalprice", 2).alias("o_totalprice"))
+
+
+ORACLE_EQUIJOIN = """
+SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 2) AS o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+"""
+
+
+def q_resolve_majority_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import resolve
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_name")
+    out = resolve(cust, blocking_keys=["c_mktsegment"], canonical_cols=["c_name"])
+    return out.select("c_custkey", "c_mktsegment", F.col("c_name").alias("canon_name"))
+
+
+ORACLE_RESOLVE = """
+SELECT c.c_custkey, c.c_mktsegment, m.canon_name
+FROM customer c JOIN (
+  SELECT c_mktsegment, c_name AS canon_name FROM (
+    SELECT c_mktsegment, c_name, count(*) AS cnt,
+           row_number() OVER (PARTITION BY c_mktsegment ORDER BY count(*) DESC, c_name) AS rn
+    FROM customer GROUP BY c_mktsegment, c_name
+  ) WHERE rn = 1
+) m ON c.c_mktsegment = m.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# restructuring: split / gather / unnest / extract
+# ---------------------------------------------------------------------------
+
+def q_split_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = split(docs, "text", method="delimiter", delimiter=" ", num_splits_to_group=50, name="sp")
+    return out.select("doc_id", F.col("sp_chunk_num").alias("chunk_num"), F.col("text_chunk").alias("chunk"))
+
+
+ORACLE_SPLIT = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, CAST(gs AS INT) AS chunk_num,
+       array_to_string(toks[(gs-1)*50+1 : gs*50], ' ') AS chunk
+FROM (SELECT doc_id, toks, unnest(range(1, CAST(ceil(len(toks)/50.0) AS BIGINT)+1)) AS gs FROM t)
+"""
+
+
+def q_gather_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import gather, split
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = split(docs, "text", method="delimiter", delimiter=" ", num_splits_to_group=40, name="sp")
+    out = gather(
+        chunks, "text_chunk", "doc_id", "sp_chunk_num",
+        peripheral_chunks={"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
+    )
+    return out.select("doc_id", F.col("sp_chunk_num").alias("chunk_num"), F.col("text_chunk_rendered").alias("rendered"))
+
+
+ORACLE_GATHER = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(gs AS INT) AS chunk_num,
+         array_to_string(toks[(gs-1)*40+1 : gs*40], ' ') AS chunk
+  FROM (SELECT doc_id, toks, unnest(range(1, CAST(ceil(len(toks)/40.0) AS BIGINT)+1)) AS gs FROM t)
+),
+w AS (
+  SELECT doc_id, chunk_num, chunk,
+         lag(chunk)  OVER win AS prev_chunk,
+         lead(chunk) OVER win AS next_chunk,
+         sum(length(chunk)) OVER (PARTITION BY doc_id ORDER BY chunk_num
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS skip_before,
+         sum(length(chunk)) OVER (PARTITION BY doc_id ORDER BY chunk_num
+                                  ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS skip_after
+  FROM chunks WINDOW win AS (PARTITION BY doc_id ORDER BY chunk_num)
+)
+SELECT doc_id, chunk_num, concat_ws(chr(10),
+  CASE WHEN prev_chunk IS NOT NULL THEN '--- Previous Context ---' END,
+  CASE WHEN skip_before IS NOT NULL THEN '[... ' || skip_before || ' characters skipped ...]' END,
+  prev_chunk,
+  CASE WHEN prev_chunk IS NOT NULL THEN '--- End Previous Context ---' END,
+  '--- Begin Main Chunk ---', chunk, '--- End Main Chunk ---',
+  CASE WHEN next_chunk IS NOT NULL THEN '--- Next Context ---' END,
+  next_chunk,
+  CASE WHEN skip_after IS NOT NULL THEN '[... ' || skip_after || ' characters skipped ...]' END,
+  CASE WHEN next_chunk IS NOT NULL THEN '--- End Next Context ---' END
+) AS rendered
+FROM w
+"""
+
+
+def q_unnest_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import unnest
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    arr = docs.select("doc_id", F.split("text", " ").alias("tok"))
+    return unnest(arr, "tok")
+
+
+ORACLE_UNNEST = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+FROM documents WHERE doc_id < 20
+"""
+
+
+def q_extract_regex_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import extract_regex
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out = extract_regex(docs, ["text"], r"(table|stream|spark)", name="kw")
+    return out.select("doc_id", F.col("text_extracted_kw").alias("keywords"))
+
+
+ORACLE_EXTRACT = """
+SELECT doc_id, coalesce(array_to_string(regexp_extract_all(text, '(table|stream|spark)', 0), chr(10)), '') AS keywords
+FROM documents WHERE doc_id < 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# sampling / topk
+# ---------------------------------------------------------------------------
+
+def q_sample_custom_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import sample
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = [{"doc_id": i} for i in (1, 3, 5, 7, 11, 400)]
+    return sample(docs, "custom", samples=keys).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_SAMPLE_CUSTOM = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN (1, 3, 5, 7, 11, 400)
+"""
+
+
+def q_topk_fts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.operators import topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = topk(docs, 15, method="fts", text_col="text", query="spark shuffle", tiebreak_cols=["doc_id"], name="t")
+    return out.select("doc_id", F.round(F.col("_t_score"), 6).alias("score"), F.col("_t_rank").alias("rk"))
+
+
+ORACLE_TOPK_FTS = """
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)), x -> x = 'spark'))
+           / (1.0 + ln(1.0 + len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) + 1))
+         + len(list_filter(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)), x -> x = 'shuffle'))
+           / (1.0 + ln(1.0 + len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) + 1))
+         AS raw_score
+  FROM documents
+)
+SELECT doc_id, round(raw_score, 6) AS score, CAST(row_number() OVER (ORDER BY raw_score DESC, doc_id) AS INT) AS rk
+FROM scored ORDER BY raw_score DESC, doc_id LIMIT 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup & similarity (training-data toolkit)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.functions.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    return exact_dedup(docs, "text").select("doc_id", "lang", "n_chars")
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+    ORDER BY doc_id, text, lang, n_chars) AS rn
+  FROM (SELECT doc_id, text, lang, n_chars FROM documents)
+) WHERE rn = 1
+"""
+
+
+def q_near_dup_unigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.array_distinct(F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda x: x != "")).alias("toks"),
+    )
+    a = toks.select(F.col("doc_id").alias("id1"), F.col("toks").alias("t1"))
+    b = toks.select(F.col("doc_id").alias("id2"), F.col("toks").alias("t2"))
+    jac = F.size(F.array_intersect("t1", "t2")) / F.size(F.array_union("t1", "t2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+ORACLE_JACCARD = """
+WITH t AS (
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a, t b
+WHERE a.doc_id < b.doc_id
+  AND round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+"""
+
+
+def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates — probabilistic blocking, no exact
+    SQL equivalent (rows-only check; exact variants are oracled above)."""
+    from docetl_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.7).select(
+        F.col("_id1").alias("id1"), F.col("_id2").alias("id2"), F.round("match_score", 4).alias("match_score")
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures — vectorized pandas UDF, no SQL equivalent
+    (rows-only check; determinism asserted in pytest)."""
+    from docetl_spark.functions.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select("doc_id", simhash("text").alias("sig"))
+
+
+def q_near_dup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cos") >= 0.35)
+        .select("id1", "id2", "cos")
+    )
+
+
+ORACLE_EMB_EXACT = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+"""
+
+
+def q_knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.functions.ann import knn_brute
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = knn_brute(emb, queries, "vec_id", "embedding", k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("int").alias("rank"))
+
+
+ORACLE_KNN = """
+SELECT query_id, neighbor_id, round(raw, 6) AS cosine, CAST(rnk AS INT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS raw,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rnk
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+) WHERE rnk <= 5
+"""
+
+
+def q_knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — approximate (recall < 1 by design), rows-only."""
+    from docetl_spark.functions.ann import knn_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    dim = len(emb.select("embedding").first()[0])
+    out = knn_lsh(emb, queries, "vec_id", "embedding", dim=dim, k=5, planes=8)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.functions.text import bpe_ish_token_count, quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_pieces"),
+        quality_score("text").alias("quality"),
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias("fp"),
+    )
+
+
+_Q_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_Q_HITS = (
+    "len(list_filter(" + _Q_TOKS + ", x -> list_contains("
+    "['the','and','of','to','is','in','that','it','with','for'], lower(x))))"
+)
+
+ORACLE_TEXT_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len({_Q_TOKS}) AS n_tok,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]', 0)) AS n_pieces,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / (length(text) + 1) AS alpha_ratio,
+         {_Q_HITS} * 1.0 / (len({_Q_TOKS}) + 1) AS stop_ratio,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / (length(text) + 1) AS punct_ratio,
+         (length(text) - len({_Q_TOKS}) + 1) * 1.0 / (len({_Q_TOKS}) + 1) AS mean_word_len
+  FROM documents
+)
+SELECT doc_id, n_tok AS n_tokens, n_pieces,
+       round(
+         0.3 * (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 1.0 ELSE 0.2 END)
+       + 0.2 * (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 1.0 ELSE 0.3 END)
+       + 0.15 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
+       + 0.2 * least(alpha_ratio * 1.25, 1.0)
+       + 0.15 * least(stop_ratio * 5.0, 1.0), 6) AS quality,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+FROM base
+"""
+
+
+def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docetl_spark.functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_merge_lww": q_cdc_merge_lww,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3_top10": q_tpch_q3_top10,
+        "revenue_by_nation": q_revenue_by_nation,
+        "events_props_agg": q_events_props_agg,
+        "top_events_per_user": q_top_events_per_user,
+        "code_reduce_groups": q_code_reduce_groups,
+        "fold_events_per_user": q_fold_events_per_user,
+        "reduce_merge_salted": q_reduce_merge_salted,
+        "equijoin_verify": q_equijoin_verify,
+        "resolve_majority_canon": q_resolve_majority_canon,
+        "split_chunks": q_split_chunks,
+        "gather_rendered": q_gather_rendered,
+        "unnest_doc_tokens": q_unnest_doc_tokens,
+        "extract_regex_docs": q_extract_regex_docs,
+        "sample_custom_keys": q_sample_custom_keys,
+        "topk_fts_docs": q_topk_fts_docs,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "near_dup_unigram_jaccard": q_near_dup_unigram_jaccard,
+        "near_dup_minhash_lsh": q_near_dup_minhash_lsh,
+        "simhash_docs": q_simhash_docs,
+        "near_dup_embedding_exact": q_near_dup_embedding_exact,
+        "knn_cosine_top5": q_knn_cosine_top5,
+        "knn_lsh_top5": q_knn_lsh_top5,
+        "text_quality": q_text_quality,
+        "lang_id_docs": q_lang_id_docs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_merge_lww": ORACLE_CDC,
+        "tpch_q1": ORACLE_Q1,
+        "tpch_q3_top10": ORACLE_Q3,
+        "revenue_by_nation": ORACLE_NATION,
+        "events_props_agg": ORACLE_PROPS,
+        "top_events_per_user": ORACLE_TOP_EVENTS,
+        "code_reduce_groups": ORACLE_CODE_REDUCE,
+        "fold_events_per_user": ORACLE_FOLD,
+        "reduce_merge_salted": ORACLE_MERGE_SALTED,
+        "equijoin_verify": ORACLE_EQUIJOIN,
+        "resolve_majority_canon": ORACLE_RESOLVE,
+        "split_chunks": ORACLE_SPLIT,
+        "gather_rendered": ORACLE_GATHER,
+        "unnest_doc_tokens": ORACLE_UNNEST,
+        "extract_regex_docs": ORACLE_EXTRACT,
+        "sample_custom_keys": ORACLE_SAMPLE_CUSTOM,
+        "topk_fts_docs": ORACLE_TOPK_FTS,
+        "dedup_exact_docs": ORACLE_DEDUP_EXACT,
+        "near_dup_unigram_jaccard": ORACLE_JACCARD,
+        "near_dup_embedding_exact": ORACLE_EMB_EXACT,
+        "knn_cosine_top5": ORACLE_KNN,
+        "text_quality": ORACLE_TEXT_QUALITY,
+        # rows-only (no SQL equivalent): near_dup_minhash_lsh, simhash_docs,
+        # knn_lsh_top5, lang_id_docs
+    }

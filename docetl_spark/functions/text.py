@@ -35,11 +35,11 @@ def token_count(text: Column | str) -> Column:
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
-    """A BPE-flavored token estimate: word-piece regex split (letters /
-    digits / punctuation runs) — deterministic, no tokenizer dependency."""
+    """A BPE-flavored token estimate: alphanumeric runs count as one piece,
+    every other non-space character as its own piece — deterministic, no
+    tokenizer dependency, same regex semantics in Java and RE2 (oracles)."""
     c = F.col(text) if isinstance(text, str) else text
-    pieces = F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])")
-    return F.size(F.filter(pieces, lambda t: F.trim(t) != ""))
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
 
 
 def _marker_hits(toks: Column, words: list[str]) -> Column:

@@ -117,6 +117,7 @@ def topk(
     text_col: str | None = None,
     query: str | None = None,
     name: str = "topk",
+    tiebreak_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Top-k rows by a score (topk.py:12-235 facade).
 
@@ -140,7 +141,12 @@ def topk(
 
     scored = df.withColumn(f"_{name}_score", score.cast("double"))
     order = F.col(f"_{name}_score").desc() if direction == "desc" else F.col(f"_{name}_score").asc()
-    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
+    # default tiebreak: content hash (deterministic); pass tiebreak_cols for
+    # an ordering reproducible in external SQL oracles
+    if tiebreak_cols:
+        tiebreak = F.struct(*[F.col(c) for c in tiebreak_cols])
+    else:
+        tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
 
     if stratify_key:
         w = Window.partitionBy(stratify_key).orderBy(order, tiebreak)
