@@ -7,18 +7,30 @@ evolution, per-batch lineage metrics.
 
 Scale design notes
 ------------------
-* **One shuffle per batch.** The LWW dedup is a ``groupBy(key).agg(max_by)``
-  — Spark executes it as partial (map-side combine) + final aggregation, so
-  a hot key that dominates the batch is pre-collapsed on every input
-  partition before the shuffle. This is the hash-aggregation form of salting;
-  an *explicit* two-level salted variant is available for transform stages
-  that need it (``docetl_spark.operators.skew.salted_agg``).
+* **Wide rows never shuffle.** Payload columns (e.g. repo file ``content``)
+  are heavy; shuffling them dominates everything at scale. The batch LWW is
+  therefore two-phase: (1) a *narrow* ``groupBy(key).agg(max(lsn))`` over
+  a column-pruned scan (parquet reads only key + lsn bytes), which gets
+  map-side partial combine and collapses hot keys before its (tiny)
+  shuffle; (2) a broadcast join-back of the winning ``(key, lsn)`` set
+  against the batch, so winning payload rows stream out of the scan
+  without a shuffle. The single-phase wide ``max(struct(...))`` variant
+  (``dedup_last_writer``) measured 2-3x slower and anti-scaled with
+  parallelism: with K keys spread over P partitions the partial aggregate
+  combines almost nothing as P grows, while shuffling full payloads.
+* **The table state never shuffles either.** Current rows of affected
+  buckets are read once; survivors (keys untouched by the batch) are kept
+  via a broadcast LEFT ANTI join — a map-side filter — and written back in
+  their incoming file-aligned partitioning. Only the batch winners (new
+  row versions) are hash-repartitioned to their target buckets. A batch
+  upserting B keys into a T-row table moves O(B) wide rows, not O(T).
 * **Copy-on-write touches only affected buckets.** Keys hash into
   ``num_buckets`` buckets via xxhash64 over the full composite key; the
-  merge anti-joins ONLY those buckets' current files against the batch keys.
-  A batch touching 1% of key space reads+rewrites ~1% of the table.
-* **AQE everywhere** — the survivors anti-join is sized at runtime
-  (broadcast when the deduped batch is small, skew-split otherwise).
+  merge reads + rewrites ONLY buckets the batch keys land in. A batch
+  touching 1% of key space reads+rewrites ~1% of the table.
+* **Broadcast is gated, AQE backstops.** The winning keyset is broadcast
+  only below ``broadcast_key_limit`` keys; above it the joins fall back to
+  AQE-planned shuffle joins (with skew-split enabled in the session).
 
 The reference's analogue is in-memory ``{**item, **output}`` row merging
 (docetl/operations/map.py:414) plus JSON checkpoints
@@ -62,6 +74,8 @@ class MergeMetrics:
     max_lsn: int | None = None
     snapshot_version: int | None = None
     duration_sec: float = 0.0
+    stats_sec: float = 0.0  # winning-key aggregate + lineage stats job
+    write_sec: float = 0.0  # join-back + survivors + bucket-file write job
     bucket_rows: dict[str, int] = field(default_factory=dict)
 
     def to_dict(self) -> dict:
@@ -111,14 +125,31 @@ def merge_apply(
     batch_id: int,
     stages: Iterable[TransformStage] = (),
     fence_prop: str = FENCE_PROP,
+    broadcast_key_limit: int = 500_000,
+    strict_lww_ties: bool = False,
+    winner_stages: Iterable[TransformStage] = (),
 ) -> MergeMetrics:
     """Apply one microbatch of change events to ``table``.
 
     ``batch`` columns: ``lsn long, op string in {I,U,D}``, the table's key
     columns, plus any payload columns (which may include columns the table
     has never seen -> additive schema evolution, or wider numeric types ->
-    widening evolution). ``stages`` are vectorized DataFrame transforms run
-    on the batch BEFORE the merge (the DocETL map/filter analogues).
+    widening evolution).
+
+    ``stages`` are vectorized DataFrame transforms run on the FULL batch
+    before the merge (use for filters or anything that must see every
+    event). ``winner_stages`` run AFTER the LWW dedup, on winning rows
+    only — for per-row map transforms (the DocETL map analogue) this is
+    semantically identical on the final table state (a losing event's
+    derived columns are unobservable) and cuts transform cost from
+    O(events) to O(distinct keys); on an update-heavy stream that is the
+    difference between enriching 10^10 rows and enriching the 10^8 that
+    survive. Winner-stage output columns join schema evolution exactly
+    like batch columns.
+
+    LSNs are assumed unique per key within a batch (standard WAL/binlog
+    property). If yours can tie, set ``strict_lww_ties=True`` to add a
+    deterministic struct-max tiebreak over the (small) winner set.
     """
     t0 = time.time()
     snap = table.snapshot()
@@ -130,9 +161,18 @@ def merge_apply(
     for stage in stages:
         batch = stage(batch)
 
+    def _winner_staged(df: DataFrame) -> DataFrame:
+        for stage in winner_stages:
+            df = stage(df)
+        return df
+
+    # schema evolution must account for winner-stage output columns too:
+    # probe them against an empty frame (no data moves, plan-only)
+    staged_empty = _winner_staged(batch.limit(0))
+
     key_cols = snap.key_cols
     # -- in-flight schema evolution -------------------------------------
-    payload_fields = [f for f in batch.schema.fields if f.name not in CONTROL_COLS]
+    payload_fields = [f for f in staged_empty.schema.fields if f.name not in CONTROL_COLS]
     incoming = T.StructType(
         payload_fields
         + [T.StructField("lsn", T.LongType(), True), T.StructField(DELETED_COL, T.BooleanType(), True)]
@@ -140,27 +180,48 @@ def merge_apply(
     evolved = merge_schemas(snap.schema, incoming)
     snap_for_bucket = Snapshot(**{**snap.__dict__, "schema": evolved})
 
-    # -- LWW dedup within batch (one shuffle, map-side combine) ----------
-    winners = dedup_last_writer(batch, key_cols, count_col="_events").persist()
+    # -- Phase 1: narrow winning-key aggregate. Only (key, lsn, op) leave
+    # the scan (parquet column pruning), partial combine collapses hot
+    # keys map-side, and the shuffle carries no payload bytes. Kept lazy:
+    # the stats job pipelines through it without materializing the keyset;
+    # it is persisted below ONLY if the merge actually reuses it (current
+    # state exists), since on an initial load pinning millions of winner
+    # keys in the memory store is pure churn.
+    wk = batch.groupBy(*key_cols).agg(
+        F.max("lsn").alias("lsn"),
+        F.count(F.lit(1)).alias("_events"),
+        F.max_by("op", "lsn").alias("_op"),
+    )
+    persisted = []
     try:
-        stats = winners.agg(
-            F.count(F.lit(1)).alias("keys"),
-            F.sum("_events").alias("events"),
-            F.sum((F.col("op") == "D").cast("long")).alias("dels"),
-            F.min("lsn").alias("min_lsn"),
-            F.max("lsn").alias("max_lsn"),
-        ).collect()[0]
-        n_keys = stats["keys"] or 0
-        n_del = int(stats["dels"] or 0)
+        # One collect serves both lineage stats and the affected-bucket
+        # list: per-bucket partials (<= num_buckets rows) combined driver
+        # side. Fewer jobs per batch = less serial floor per microbatch.
+        per_bucket = (
+            wk.withColumn("_bucket", table.bucket_expr(snap_for_bucket))
+            .groupBy("_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.sum("_events").alias("events"),
+                F.sum((F.col("_op") == "D").cast("long")).alias("dels"),
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+            )
+            .collect()
+        )
+        bucket_counts = {r["_bucket"]: r["keys"] for r in per_bucket}
+        n_keys = sum(bucket_counts.values())
+        n_del = int(sum(r["dels"] for r in per_bucket))
 
         metrics = MergeMetrics(
             batch_id=batch_id,
-            events_in=int(stats["events"] or 0),
+            events_in=int(sum(r["events"] for r in per_bucket)),
             keys_in_batch=n_keys,
             upserts=n_keys - n_del,
             deletes=n_del,
-            min_lsn=stats["min_lsn"],
-            max_lsn=stats["max_lsn"],
+            min_lsn=min((r["min_lsn"] for r in per_bucket), default=None),
+            max_lsn=max((r["max_lsn"] for r in per_bucket), default=None),
+            stats_sec=time.time() - t0,
         )
 
         if n_keys == 0:
@@ -173,23 +234,66 @@ def merge_apply(
             metrics.duration_sec = time.time() - t0
             return metrics
 
-        # -- affected buckets (small driver-side list, <= num_buckets) ---
-        wb = winners.withColumn("_bucket", table.bucket_expr(snap_for_bucket))
-        bucket_counts = {r["_bucket"]: r["cnt"] for r in
-                         wb.groupBy("_bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
         affected = sorted(bucket_counts)
 
-        # -- merge: union current bucket state with batch winners, then a
-        # second LWW dedup — a row survives with whichever side has the
-        # higher LSN, so out-of-order batches and late events are safe.
-        current = _align(table.read_buckets(spark, affected, snap), evolved)
-        winners_t = winners.withColumn(DELETED_COL, F.col("op") == F.lit("D"))
-        new_state = dedup_last_writer(
-            current.unionByName(_align(winners_t, evolved)), key_cols
-        )
+        bcast = (lambda df: F.broadcast(df)) if n_keys <= broadcast_key_limit else (lambda df: df)
+        # Affected buckets with no current files (fresh table / untouched
+        # key space) need none of the current-vs-batch machinery — and the
+        # broadcast builds it would trigger are pure waste on initial load.
+        has_current = any(snap.files.get(b) for b in affected)
 
+        cur_beats = None
+        batch_won = wk.select(*key_cols, "lsn")
+        survivors = None
+        if has_current:
+            wk = wk.persist()
+            persisted.append(wk)
+            current = _align(table.read_buckets(spark, affected, snap), evolved)
+            # -- LWW vs current state: a key's batch version only applies
+            # if its LSN beats the stored LSN (ties keep the stored row, so
+            # an already-applied writer is never re-applied). Out-of-order
+            # and late batches are therefore safe. Column pruning makes
+            # this a (key, lsn)-only scan of the affected buckets; the
+            # broadcast join means the bucket data itself never shuffles.
+            cur_beats = (
+                current.select(*key_cols, F.col("lsn").alias("_cur_lsn"))
+                .join(bcast(wk.select(*key_cols, F.col("lsn").alias("_new_lsn"))), key_cols, "inner")
+                .filter(F.col("_cur_lsn") >= F.col("_new_lsn"))
+                .select(*key_cols)
+            )
+            batch_won = wk.join(cur_beats, key_cols, "left_anti").select(*key_cols, "lsn").persist()
+            persisted.append(batch_won)
+            # -- survivors: current rows whose key the batch did not win.
+            # Broadcast LEFT ANTI = map-side filter; file-aligned
+            # partitions are kept on write (repartition=False) so the
+            # table state is never shuffled. Only the winner set
+            # repartitions to its target buckets.
+            survivors = current.join(bcast(batch_won.select(*key_cols)), key_cols, "left_anti")
+
+        # -- Phase 2: winning payload rows. Insert-heavy fast path: when
+        # every key appears once (initial load / insert-only stream), the
+        # batch IS the winner set minus keys the stored state beats — no
+        # join-back at all. Otherwise broadcast join-back: winners stream
+        # straight from the batch scan, no wide shuffle.
+        if n_keys == metrics.events_in:
+            winners = batch if cur_beats is None else batch.join(bcast(cur_beats), key_cols, "left_anti")
+        else:
+            winners = batch.join(bcast(batch_won), [*key_cols, "lsn"], "inner")
+            if strict_lww_ties:
+                winners = dedup_last_writer(winners, key_cols)
+        winners = _winner_staged(winners)
+        winners = _align(winners.withColumn(DELETED_COL, F.col("op") == F.lit("D")), evolved)
+
+        # One write job: the survivors branch (if any) streams
+        # file-aligned (no shuffle), only the winners branch repartitions.
+        bexpr = table.bucket_expr(snap_for_bucket)
+        combined = winners.withColumn("_bucket", bexpr).repartition("_bucket")
+        if survivors is not None:
+            combined = survivors.withColumn("_bucket", bexpr).unionByName(combined)
         tag = f"snap{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
-        new_files = table.write_bucket_files(new_state, snap_for_bucket, tag)
+        t_w = time.time()
+        new_files = table.write_bucket_files(combined, snap_for_bucket, tag, repartition=False)
+        metrics.write_sec = time.time() - t_w
 
         new_snap = table.commit(
             new_files,
@@ -205,4 +309,5 @@ def merge_apply(
         metrics.duration_sec = time.time() - t0
         return metrics
     finally:
-        winners.unpersist()
+        for df in persisted:
+            df.unpersist()

@@ -47,6 +47,7 @@ def replay_events(
     stages: Iterable[TransformStage] = (),
     batch_col: str = "batch_id",
     metrics_path: str | None = None,
+    winner_stages: Iterable[TransformStage] = (),
 ) -> list[MergeMetrics]:
     """Replay ``events`` batch by batch in ascending ``batch_col`` order.
 
@@ -65,7 +66,8 @@ def replay_events(
     ]
     out: list[MergeMetrics] = []
     for bid in batch_ids:
-        m = merge_apply(spark, table, events.filter(F.col(batch_col) == bid), int(bid), stages=stages)
+        m = merge_apply(spark, table, events.filter(F.col(batch_col) == bid), int(bid),
+                        stages=stages, winner_stages=winner_stages)
         out.append(m)
         if metrics_path:
             os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)

@@ -171,14 +171,26 @@ class LakeTable:
         """
         return F.pmod(F.xxhash64(*[F.col(k) for k in snap.key_cols]), F.lit(snap.num_buckets)).cast("int")
 
-    def write_bucket_files(self, df: DataFrame, snap: Snapshot, tag: str) -> dict[int, list[str]]:
+    def write_bucket_files(self, df: DataFrame, snap: Snapshot, tag: str, repartition: bool = True) -> dict[int, list[str]]:
         """Write ``df`` (already conforming to table schema) partitioned by
-        bucket under ``data/<tag>/``; returns bucket -> new relative paths."""
+        bucket under ``data/<tag>/``; returns bucket -> new relative paths.
+
+        ``repartition=False`` keeps the incoming partitioning (e.g. rows
+        streaming straight out of bucket-aligned file scans) instead of
+        shuffling; the dynamic ``partitionBy`` still routes every row to
+        its bucket directory, it just may emit more than one file per
+        bucket. Use it when the input is already bucket-clustered.
+
+        A ``_bucket`` column already present on ``df`` is trusted as-is,
+        letting callers fuse differently-partitioned branches (e.g. an
+        unshuffled survivors scan unioned with shuffled winners) into one
+        write job."""
         out_dir = os.path.join(self.data_dir, tag)
+        bucketed = df if "_bucket" in df.columns else df.withColumn("_bucket", self.bucket_expr(snap))
+        if repartition:
+            bucketed = bucketed.repartition("_bucket")
         (
-            df.withColumn("_bucket", self.bucket_expr(snap))
-            .repartition("_bucket")
-            .write.mode("overwrite")
+            bucketed.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out_dir)
         )

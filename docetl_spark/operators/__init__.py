@@ -13,8 +13,12 @@ from docetl_spark.operators.join_ops import equijoin
 from docetl_spark.operators.resolve_ops import resolve
 from docetl_spark.operators.rank_ops import rank
 from docetl_spark.operators.extract_ops import extract_regex
+from docetl_spark.operators.cluster_ops import cluster, cluster_blocked, link_resolve
 
 __all__ = [
+    "cluster",
+    "cluster_blocked",
+    "link_resolve",
     "add_uuid",
     "code_filter",
     "code_map",

@@ -28,6 +28,7 @@ def gen_change_events(
     skew: float = 2.0,
     p_delete: float = 0.05,
     partitions: int | None = None,
+    unique_keys: bool = False,
 ) -> DataFrame:
     """Columns: lsn, batch_id, op, repo, path, commit, lang, content.
 
@@ -41,8 +42,12 @@ def gen_change_events(
     n_keys = n_keys or max(1, n_events // 4)
     df = spark.range(0, n_events, numPartitions=partitions)  # id = lsn
     u = (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
-    # Power-law key choice: floor(n_keys * u^skew) concentrates mass near 0.
-    key_id = F.floor(F.lit(n_keys) * F.pow(u, F.lit(skew))).cast("long")
+    if unique_keys:
+        # insert-only initial load: every event is its own key (bijective)
+        key_id = F.col("id")
+    else:
+        # Power-law key choice: floor(n_keys * u^skew) concentrates mass near 0.
+        key_id = F.floor(F.lit(n_keys) * F.pow(u, F.lit(skew))).cast("long")
     h = F.xxhash64(key_id, F.lit(seed))
     repo_id = F.pmod(h, F.lit(max(1, n_keys // 50)))
     path_id = F.pmod(F.xxhash64(key_id, F.lit(seed + 1)), F.lit(200))

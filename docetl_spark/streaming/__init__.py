@@ -1,0 +1,3 @@
+from docetl_spark.streaming.stream import read_change_stream, stream_changes
+
+__all__ = ["read_change_stream", "stream_changes"]

@@ -1,0 +1,89 @@
+"""Structured Streaming face of the CDC merge-apply loop.
+
+``readStream`` (file-drop WAL segments, rate source, or any stream the
+session can read) -> vectorized transform stages -> ``foreachBatch`` ->
+``merge_apply`` into a lake table.
+
+Exactly-once: Structured Streaming assigns every microbatch a
+monotonically increasing ``batch_id`` persisted in the checkpoint. After a
+crash the engine REPLAYS the last in-flight batch with the same id; the
+table's batch-id fence (docetl_spark.cdc.merge) detects the already-
+committed id and no-ops, so sink effects are exactly-once even though
+delivery is at-least-once. This is the standard idempotent-foreachBatch
+contract (Spark docs: "foreachBatch provides at-least-once; use batchId
+for deduplication"), made transactional by the lake table's atomic
+fence+data commit.
+
+Resumability: restart with the same ``checkpoint_dir`` and the stream
+continues from the recorded source offsets — mid-stream resume with no
+replay of already-fenced batches. Per-batch lineage metrics append to a
+JSONL metrics log exactly as in batch replay.
+
+The reference analogue is DocETL's plan-prefix-hash checkpoint reuse
+(docetl/runner.py:546-591) and mid-op partial flushes
+(docetl/operations/map.py:541-547); here both become engine-managed
+stream state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from docetl_spark.cdc.merge import TransformStage, merge_apply
+from docetl_spark.lake.table import LakeTable
+
+
+def read_change_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Tail a directory of WAL/binlog segments (parquet files) as a stream.
+
+    New files dropped into ``path`` become microbatches — the file-drop
+    analogue of tailing a binlog. ``maxFilesPerTrigger`` is left to the
+    caller via ``.option`` if batch pacing matters.
+    """
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def stream_changes(
+    spark: SparkSession,
+    table: LakeTable,
+    changes: DataFrame,
+    checkpoint_dir: str,
+    stages: Iterable[TransformStage] = (),
+    metrics_path: str | None = None,
+    trigger_available_now: bool = True,
+    query_name: str = "cdc_merge_apply",
+    winner_stages: Iterable[TransformStage] = (),
+) -> StreamingQuery:
+    """Run the merge-apply loop over a streaming DataFrame of change events.
+
+    ``changes`` must carry ``lsn``, ``op`` and the table's key columns
+    (plus any payload; new columns evolve the table schema in-flight).
+    Returns the started StreamingQuery; with ``trigger_available_now``
+    the query drains everything currently available and stops (the
+    batch-replay-shaped trigger; pass False for a continuous tail).
+    """
+    stages = list(stages)
+    winner_stages = list(winner_stages)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        m = merge_apply(spark, table, batch_df, int(batch_id), stages=stages,
+                        winner_stages=winner_stages)
+        if metrics_path:
+            os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(m.to_dict()) + "\n")
+
+    writer = (
+        changes.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,120 @@
+"""Structured Streaming merge-apply: exactly-once foreachBatch sink,
+checkpoint resume, in-flight schema evolution over a file-drop WAL.
+
+Mirrors the reference's checkpoint-reuse semantics (docetl/runner.py:546-591)
+recast as stream-resume assertions per the north rule.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from docetl_spark.cdc import create_cdc_table, read_state
+from docetl_spark.cdc.merge import FENCE_PROP
+from docetl_spark.sources.testgen import final_state_oracle, gen_change_events
+from docetl_spark.streaming import read_change_stream, stream_changes
+
+from .conftest import df_rows
+
+KEYS = ["repo", "path", "commit"]
+
+
+def _segments(spark, n_events, seg_rows, out_dir, start=0):
+    """Write the event range [start, start+n_events) as one WAL segment
+    file per ``seg_rows`` events, named so drop order is deterministic."""
+    ev = gen_change_events(spark, start + n_events, n_keys=400, batch_size=10**9).filter(
+        F.col("lsn") >= start
+    )
+    pdf = ev.toPandas().sort_values("lsn")
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(0, len(pdf), seg_rows):
+        p = os.path.join(out_dir, f"seg-{start + i:08d}.parquet")
+        pdf.iloc[i : i + seg_rows].to_parquet(p, index=False)
+        paths.append(p)
+    return ev.schema, paths
+
+
+def test_stream_drains_wal_and_matches_oracle(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    schema, _ = _segments(spark, 3000, 500, wal)
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+
+    q = stream_changes(
+        spark, table,
+        read_change_stream(spark, wal, schema).drop("batch_id"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+    )
+    q.awaitTermination(240)
+
+    got = read_state(spark, table).select(*KEYS, "lsn", "content")
+    want = final_state_oracle(
+        gen_change_events(spark, 3000, n_keys=400, batch_size=10**9)
+    ).select(*KEYS, "lsn", "content")
+    assert df_rows(got) == df_rows(want)
+    # per-batch lineage metrics were appended
+    assert os.path.getsize(str(tmp_path / "metrics.jsonl")) > 0
+
+
+def test_stream_resumes_from_checkpoint_without_reapplying(spark, tmp_path):
+    wal = str(tmp_path / "wal")
+    schema, _ = _segments(spark, 2000, 1000, wal)
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_changes(spark, table, read_change_stream(spark, wal, schema).drop("batch_id"), ckpt)
+    q.awaitTermination(240)
+    fence_after_first = int(table.snapshot().properties[FENCE_PROP])
+    version_after_first = table.snapshot().version
+
+    # drop two more WAL segments, restart the stream on the SAME checkpoint
+    _segments(spark, 2000, 1000, wal, start=2000)
+    q2 = stream_changes(spark, table, read_change_stream(spark, wal, schema).drop("batch_id"), ckpt)
+    q2.awaitTermination(240)
+
+    # fence advanced monotonically; earlier batches were not re-applied
+    assert int(table.snapshot().properties[FENCE_PROP]) > fence_after_first
+    assert table.snapshot().version > version_after_first
+
+    got = read_state(spark, table).select(*KEYS, "lsn", "content")
+    want = final_state_oracle(
+        gen_change_events(spark, 4000, n_keys=400, batch_size=10**9)
+    ).select(*KEYS, "lsn", "content")
+    assert df_rows(got) == df_rows(want)
+
+
+def test_stream_schema_evolution_mid_stream(spark, tmp_path):
+    """A transform stage's new output column appears mid-stream and is
+    merged into the table schema without replay (north rule)."""
+    wal = str(tmp_path / "wal")
+    schema, _ = _segments(spark, 1500, 1500, wal)
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_changes(spark, table, read_change_stream(spark, wal, schema).drop("batch_id"), ckpt)
+    q.awaitTermination(240)
+    assert "content_sha" not in table.snapshot().schema.fieldNames()
+
+    _segments(spark, 1500, 1500, wal, start=1500)
+
+    def sha_stage(df):
+        return df.withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+
+    q2 = stream_changes(
+        spark, table, read_change_stream(spark, wal, schema).drop("batch_id"), ckpt, stages=[sha_stage]
+    )
+    q2.awaitTermination(240)
+
+    snap = table.snapshot()
+    assert "content_sha" in snap.schema.fieldNames()
+    state = read_state(spark, table)
+    # rows upserted before the evolution read back as null sha; rows from
+    # the evolved batches carry the real hash
+    assert state.filter(F.col("content_sha").isNotNull()).count() > 0
+    assert (
+        state.filter(F.col("content_sha").isNotNull())
+        .filter(F.col("content_sha") != F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        .count()
+        == 0
+    )
