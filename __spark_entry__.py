@@ -625,6 +625,129 @@ def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id("text").alias("lang_guess"))
 
 
+def q_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank operator (reference docetl/operations/rank.py): staged scoring
+    -> total order -> _rank column. Deterministic tie-free score so the
+    DuckDB oracle reproduces the exact order."""
+    from docetl_spark.operators import rank
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = rank(docs, score=F.col("n_chars") + F.col("doc_id") / F.lit(1e9),
+                  direction="desc", name="r", k=20)
+    return scored.select("doc_id", F.col("_r_rank").alias("rnk"))
+
+
+ORACLE_RANK = """
+SELECT doc_id, rnk FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars + doc_id / 1e9 DESC) AS rnk
+  FROM documents
+) WHERE rnk <= 20
+"""
+
+
+def q_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster operator (reference docetl/operations/cluster.py): ward
+    dendrogram over deterministic doc features, leaves annotated with
+    ancestor paths. Rows-only check (a dendrogram isn't SQL)."""
+    from docetl_spark.functions.text import token_count
+    from docetl_spark.operators import cluster
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feat = docs.select(
+        "doc_id",
+        F.array(
+            (F.col("n_chars") / 100.0),
+            (token_count("text") / 10.0),
+            F.length(F.regexp_replace("text", r"[^.!?]", "")).cast("double"),
+        ).alias("emb"),
+    )
+    out = cluster(feat, "emb")
+    return out.select("doc_id", F.size("clusters").alias("depth"))
+
+
+def q_link_resolve_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """link_resolve (reference docetl/operations/link_resolve.py): dangling
+    link values re-pointed to the most token-jaccard-similar id."""
+    from docetl_spark.operators import link_resolve
+
+    nation = _t(spark, sf_dir, "nation")
+    df = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.array(F.concat(F.col("n_name"), F.lit(" land")), F.col("n_name")).alias("related"),
+    )
+    fixed = link_resolve(df, id_key="n_name", link_key="related", blocking_threshold=0.5)
+    return fixed.select(
+        "n_nationkey", F.posexplode("related").alias("pos", "resolved")
+    ).select("n_nationkey", "pos", "resolved")
+
+
+ORACLE_LINK_RESOLVE = """
+WITH ids AS (SELECT DISTINCT n_name FROM nation),
+rows_arr AS (
+  SELECT n_nationkey, [n_name || ' land', n_name] AS arr FROM nation
+),
+exploded AS (
+  SELECT n_nationkey, g.idx - 1 AS pos, arr[g.idx] AS v
+  FROM rows_arr, (SELECT unnest(generate_series(1, 2)) AS idx) g
+),
+dangling AS (
+  SELECT DISTINCT v FROM exploded
+  WHERE v NOT IN (SELECT n_name FROM ids)
+),
+pairs AS (
+  SELECT d.v,
+         i.n_name AS id_v,
+         len(list_intersect(string_split(lower(d.v), ' '), string_split(lower(i.n_name), ' '))) * 1.0
+           / len(list_distinct(list_concat(string_split(lower(d.v), ' '), string_split(lower(i.n_name), ' ')))) AS sim
+  FROM dangling d CROSS JOIN ids i
+),
+best AS (
+  SELECT v, id_v FROM pairs
+  WHERE sim >= 0.5
+  QUALIFY row_number() OVER (PARTITION BY v ORDER BY sim DESC, id_v DESC) = 1
+)
+SELECT e.n_nationkey, e.pos, coalesce(b.id_v, e.v) AS resolved
+FROM exploded e LEFT JOIN best b ON e.v = b.v
+"""
+
+
+def q_cdc_stream_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming face of the merge-apply loop: tail the events
+    parquet as a file-drop WAL, foreachBatch -> merge_apply, availableNow.
+    Must reach the exact same final state as the batch replay (same
+    oracle as cdc_merge_lww)."""
+    from docetl_spark.cdc import create_cdc_table, read_state
+    from docetl_spark.streaming import read_change_stream, stream_changes
+
+    events_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(events_path).schema
+    # the file stream source tails a DIRECTORY of dropped WAL segments;
+    # expose the events file as a single-segment drop dir via symlink
+    wal_dir = tempfile.mkdtemp(prefix="wal_")
+    os.symlink(events_path, os.path.join(wal_dir, "seg-00000000.parquet"))
+    changes = _events_as_changes(
+        read_change_stream(spark, wal_dir, schema)
+    ).drop("batch_id")
+
+    path = tempfile.mkdtemp(prefix="cdc_stream_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["user_id"], num_buckets=16)
+    q = stream_changes(
+        spark, table, changes, checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_")
+    )
+    q.awaitTermination(300)
+    state = read_state(spark, table)
+    return state.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 2).alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -657,6 +780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_top5": q_knn_lsh_top5,
         "text_quality": q_text_quality,
         "lang_id_docs": q_lang_id_docs,
+        "rank_docs": q_rank_docs,
+        "cluster_docs": q_cluster_docs,
+        "link_resolve_repair": q_link_resolve_repair,
+        "cdc_stream_lww": q_cdc_stream_lww,
     }
 
 
@@ -684,6 +811,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embedding_exact": ORACLE_EMB_EXACT,
         "knn_cosine_top5": ORACLE_KNN,
         "text_quality": ORACLE_TEXT_QUALITY,
+        "rank_docs": ORACLE_RANK,
+        "link_resolve_repair": ORACLE_LINK_RESOLVE,
+        "cdc_stream_lww": ORACLE_CDC,
         # rows-only (no SQL equivalent): near_dup_minhash_lsh, simhash_docs,
-        # knn_lsh_top5, lang_id_docs
+        # knn_lsh_top5, lang_id_docs, cluster_docs
     }

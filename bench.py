@@ -143,8 +143,10 @@ def run_replay(master: str, n_events: int, batch_size: int, shuffle_partitions: 
         # a losing event's derived columns are unobservable, so computing
         # them is pure waste (the O(keys)-not-O(events) transform rule).
         table = create_cdc_table(path, ["repo", "path", "commit"], num_buckets=32)
+        known_batches = list(range((n_events + batch_size - 1) // batch_size))
         t0 = time.time()
-        metrics = replay_events(spark, table, events, winner_stages=[_map_stage()])
+        metrics = replay_events(spark, table, events, winner_stages=[_map_stage()],
+                                batch_ids=known_batches)
         wall = time.time() - t0
         n_final = read_state(spark, table).count()
         return {
@@ -223,6 +225,8 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "1000000")))
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--keys-ratio", type=float, default=0.05)
+    ap.add_argument("--scale-cores", type=int, default=2,
+                    help="N for the N vs 4N scaling pair")
     args = ap.parse_args()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -236,9 +240,18 @@ def main() -> None:
 
     if args.scaling:
         result = scaling(int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "2000000")),
-                         int(os.environ.get("SPARK_GRAFT_SCALE_BATCH", "2000000")))
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json"), "w") as f:
-            json.dump(result, f, indent=2)
+                         int(os.environ.get("SPARK_GRAFT_SCALE_BATCH", "2000000")),
+                         n_cores=args.scale_cores)
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+        merged = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+            if "pairs" not in merged:  # migrate single-pair layout
+                merged = {"pairs": {f"2x8": merged}} if "speedup" in merged else {"pairs": {}}
+        merged.setdefault("pairs", {})[f"{args.scale_cores}x{4 * args.scale_cores}"] = result
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=2)
         print(json.dumps(result))
         return
 

@@ -48,22 +48,28 @@ def replay_events(
     batch_col: str = "batch_id",
     metrics_path: str | None = None,
     winner_stages: Iterable[TransformStage] = (),
+    batch_ids: list[int] | None = None,
 ) -> list[MergeMetrics]:
     """Replay ``events`` batch by batch in ascending ``batch_col`` order.
 
     Already-applied batches (fence) are skipped without reading their data.
     Per-batch lineage metrics are returned and, if ``metrics_path`` is
-    given, appended as JSONL (the metrics table).
+    given, appended as JSONL (the metrics table). Pass ``batch_ids`` when
+    the WAL's batch range is already known (e.g. from its manifest) to
+    skip the discovery scan.
     """
     last_applied = int(table.snapshot().properties.get(FENCE_PROP, "-1"))
-    batch_ids = [
-        r[0]
-        for r in events.filter(F.col(batch_col) > last_applied)
-        .select(batch_col)
-        .distinct()
-        .sort(batch_col)
-        .collect()
-    ]
+    if batch_ids is None:
+        batch_ids = [
+            r[0]
+            for r in events.filter(F.col(batch_col) > last_applied)
+            .select(batch_col)
+            .distinct()
+            .sort(batch_col)
+            .collect()
+        ]
+    else:
+        batch_ids = sorted(b for b in batch_ids if b > last_applied)
     out: list[MergeMetrics] = []
     for bid in batch_ids:
         m = merge_apply(spark, table, events.filter(F.col(batch_col) == bid), int(bid),

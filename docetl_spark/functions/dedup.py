@@ -54,10 +54,24 @@ def shingles(text: Column | str, n: int = 3, max_shingles: int = 512) -> Column:
 
 def minhash_signature(text: Column | str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
     """Array of ``num_hashes`` min-hashes — one seeded xxhash64 family per
-    permutation, min over the shingle set. Pure codegen."""
+    permutation, min over the shingle set. Pure codegen.
+
+    Single-pass fold: the shingle array is referenced ONCE and each
+    shingle contributes all ``num_hashes`` seeded hashes into an
+    elementwise-min accumulator. (The naive form — num_hashes separate
+    ``array_min(transform(shingles, ...))`` columns — re-evaluates the
+    shingle construction per hash when common-subexpression elimination
+    doesn't catch it, a num_hashes× blowup.)"""
     sh = shingles(text, n=shingle_n)
-    return F.array(
-        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
+            lambda a, h: F.least(a, h),
+        ),
     )
 
 

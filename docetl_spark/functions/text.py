@@ -49,11 +49,33 @@ def _marker_hits(toks: Column, words: list[str]) -> Column:
 
 def lang_id(text: Column | str) -> Column:
     """Heuristic language id: argmax of stopword-marker hit counts; 'und'
-    (undetermined) when nothing matches."""
+    (undetermined) when nothing matches.
+
+    Single-pass fold: tokens are referenced ONCE and each token votes into
+    a per-language counter array (zip_with + elementwise add); the winner
+    is the max (hits, lang) struct over positive counts. The naive form —
+    one ``size(filter(tokens, ...))`` per language plus a CASE WHEN that
+    re-evaluates the argmax — re-tokenizes the document ~2x languages
+    times (observed 12 split() calls per row in the physical plan)."""
     toks = tokens(text)
-    pairs = [F.struct(_marker_hits(toks, ws).alias("hits"), F.lit(lang).alias("lang")) for lang, ws in _LANG_MARKERS.items()]
-    best = F.array_max(F.array(*pairs))
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    langs = sorted(_LANG_MARKERS)
+    wordsets = [F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]]) for lang in langs]
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), len(langs)),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.array_contains(ws, F.lower(t)).cast("int") for ws in wordsets]),
+            lambda a, h: a + h,
+        ),
+    )
+    pairs = F.zip_with(
+        counts,
+        F.array(*[F.lit(lang) for lang in langs]),
+        lambda h, lang: F.struct(h.alias("hits"), lang.alias("lang")),
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
+    return F.coalesce(best["lang"], F.lit("und"))
 
 
 def quality_score(text: Column | str) -> Column:

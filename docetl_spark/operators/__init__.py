@@ -4,7 +4,7 @@ functions where semantics allow, Arrow-batched pandas UDFs where they
 don't, never row-at-a-time Python."""
 
 from docetl_spark.operators.map_ops import add_uuid, code_filter, code_map, drop_keys, parallel_map
-from docetl_spark.operators.reduce_ops import code_reduce, reduce_fold, reduce_merge
+from docetl_spark.operators.reduce_ops import code_reduce, reduce_fold, reduce_merge, value_sample
 from docetl_spark.operators.skew import salted_agg
 from docetl_spark.operators.unnest import unnest
 from docetl_spark.operators.split_gather import gather, split
@@ -12,7 +12,7 @@ from docetl_spark.operators.sample_ops import sample, topk
 from docetl_spark.operators.join_ops import equijoin
 from docetl_spark.operators.resolve_ops import resolve
 from docetl_spark.operators.rank_ops import rank
-from docetl_spark.operators.extract_ops import extract_regex
+from docetl_spark.operators.extract_ops import extract_lines, extract_regex
 from docetl_spark.operators.cluster_ops import cluster, cluster_blocked, link_resolve
 
 __all__ = [
@@ -27,6 +27,7 @@ __all__ = [
     "code_reduce",
     "reduce_fold",
     "reduce_merge",
+    "value_sample",
     "salted_agg",
     "unnest",
     "split",
@@ -37,4 +38,5 @@ __all__ = [
     "resolve",
     "rank",
     "extract_regex",
+    "extract_lines",
 ]

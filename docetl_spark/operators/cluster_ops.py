@@ -113,6 +113,16 @@ def _tree_distance_gaps(t) -> set:
     return res
 
 
+def _annotate_sizes(t) -> int:
+    """Default bottom-up summary: subtree size (cluster.py:210-273 with the
+    LLM summary replaced by the deterministic stand-in)."""
+    if "children" not in t:
+        return 1
+    n = sum(_annotate_sizes(c) for c in t["children"])
+    t["size"] = n
+    return n
+
+
 def _collapse(t, parent_dist=None, collapse=None):
     """Reference cluster.py:176-208: absorb children whose distance gap to
     the parent is below the collapse threshold (flattens tight subtrees)."""
@@ -230,7 +240,11 @@ def cluster_blocked(
     SURVEY.md §7.3 risk 4 — then each group is driver-of-its-own-task)."""
     import json as _json
 
-    out_schema = df.schema.add(output_key, "array<string>")
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(output_key, T.ArrayType(T.StringType()), True)]
+    )
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         # deterministic in-group order -> deterministic dendrogram
@@ -246,6 +260,7 @@ def cluster_blocked(
             gaps = np.array(sorted(_tree_distance_gaps(tree)))
             if len(gaps):
                 tree = _collapse(tree, collapse=float(gaps[int(len(gaps) * collapse)]))[0]
+        _annotate_sizes(tree)
         paths: dict[int, list[str]] = {}
 
         def walk(t, path=()):

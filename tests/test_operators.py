@@ -261,3 +261,14 @@ def test_extract_regex(spark):
     df = spark.createDataFrame([("call 555-1234 or 555-9876",)], "text string")
     out = extract_regex(df, ["text"], r"\d{3}-\d{4}", name="phones")
     assert out.collect()[0]["text_extracted_phones"] == "555-1234\n555-9876"
+
+
+def test_extract_lines(spark):
+    from docetl_spark.operators import extract_lines
+
+    df = spark.createDataFrame(
+        [("l1\nl2\nl3\nl4\nl5", [{"start": 2, "end": 3}, {"start": 5, "end": 5}])],
+        "text string, spans array<struct<start:int, end:int>>",
+    )
+    out = extract_lines(df, "text", "spans", name="sel")
+    assert out.collect()[0]["text_extracted_sel"] == "l2\nl3\n\nl5"

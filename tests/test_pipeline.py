@@ -1,0 +1,90 @@
+"""YAML pipeline runner tests (reference lifecycle: docetl/runner.py;
+checkpoint-prefix-hash reuse: runner.py:264-286, :546-663)."""
+
+import os
+
+import yaml
+
+from docetl_spark.plans import Pipeline
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _write(tmp_path, cfg):
+    p = str(tmp_path / "pipeline.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return p
+
+
+def test_pipeline_filter_map_reduce(spark, tmp_path):
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [
+            {
+                "name": "clean",
+                "input": "docs",
+                "operations": [
+                    {"op": "filter", "where": "n_chars > 64"},
+                    {"op": "map", "expr": {"fp": "md5(lower(text))"}},
+                    {"op": "reduce", "reduce_key": "lang", "aggs": {
+                        "n_docs": "count(1)", "avg_chars": "round(avg(n_chars), 2)"}},
+                ],
+            }
+        ],
+        "output": {"path": str(tmp_path / "out"), "format": "parquet"},
+    }
+    out = Pipeline.from_yaml(_write(tmp_path, cfg)).save(spark)
+    rows = {r["lang"]: r for r in out.collect()}
+    # oracle via direct DataFrame ops
+    want = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .filter("n_chars > 64").groupBy("lang").count()
+    )
+    for r in want.collect():
+        assert rows[r["lang"]]["n_docs"] == r["count"]
+    assert os.path.isdir(str(tmp_path / "out"))
+
+
+def test_pipeline_steps_chain_and_split(spark, tmp_path):
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [
+            {"name": "s1", "input": "docs", "operations": [
+                {"op": "filter", "where": "doc_id < 20"},
+            ]},
+            {"name": "s2", "input": "s1", "operations": [
+                {"op": "split", "split_key": "text", "method": "token_count",
+                 "num_tokens": 30, "name": "sp"},
+            ]},
+        ],
+    }
+    out = Pipeline.from_yaml(_write(tmp_path, cfg)).run(spark)
+    assert "text_chunk" in out.columns and "sp_chunk_num" in out.columns
+    assert out.count() >= 20
+
+
+def test_pipeline_checkpoint_reuse_and_invalidation(spark, tmp_path):
+    inter = str(tmp_path / "inter")
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [
+            {"name": "s1", "input": "docs", "operations": [
+                {"op": "filter", "where": "doc_id < 50"}]},
+        ],
+    }
+    p = Pipeline.from_yaml(_write(tmp_path, cfg), intermediate_dir=inter)
+    n1 = p.run(spark).count()
+    ckpts = os.listdir(inter)
+    assert len(ckpts) == 1
+
+    # same config -> same checkpoint dir reused (no new dir)
+    p2 = Pipeline.from_yaml(_write(tmp_path, cfg), intermediate_dir=inter)
+    assert p2.run(spark).count() == n1
+    assert os.listdir(inter) == ckpts
+
+    # changed upstream config -> new hash -> new checkpoint
+    cfg["steps"][0]["operations"][0]["where"] = "doc_id < 10"
+    p3 = Pipeline.from_yaml(_write(tmp_path, cfg), intermediate_dir=inter)
+    assert p3.run(spark).count() < n1
+    assert len(os.listdir(inter)) == 2

@@ -14,9 +14,12 @@ from docetl_spark.cdc.merge import FENCE_PROP
 from docetl_spark.sources.testgen import final_state_oracle, gen_change_events
 from docetl_spark.streaming import read_change_stream, stream_changes
 
-from .conftest import df_rows
-
 KEYS = ["repo", "path", "commit"]
+
+
+def df_rows(df, *cols):
+    sel = df.select(*cols) if cols else df
+    return sorted(tuple(r) for r in sel.collect())
 
 
 def _segments(spark, n_events, seg_rows, out_dir, start=0):
