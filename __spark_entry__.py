@@ -31,7 +31,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # flagship: CDC merge-apply replay over the events table
 # ---------------------------------------------------------------------------
 
-def _events_as_changes(events: DataFrame, batch_size: int = 2500) -> DataFrame:
+def _events_as_changes(events: DataFrame, batch_size: int = 25_000) -> DataFrame:
     """Shape the events table as a binlog: lsn=event_id, key=user_id,
     op=D when event_type='error' (an 'account wipe'), else upsert."""
     return events.select(

@@ -109,6 +109,20 @@ def resolve(
     """
     nodes = df.withColumn(RID, row_id(df))
 
+    if blocking_keys and compare is None and pair_candidates is None:
+        # Zero-cost short circuit (resolve.py:193-200): key-equal pairs ARE
+        # matches, so by transitivity every row sharing the blocking-key
+        # tuple is one cluster — cluster id = min rid per key tuple, ONE
+        # shuffle. The pair/CC machinery would materialize O(block²) edges
+        # (a 5-value key over 15k rows = 22M pairs) to compute the same
+        # thing.
+        from pyspark.sql import Window
+
+        out = nodes.withColumn(
+            CLUSTER, F.min(RID).over(Window.partitionBy(*blocking_keys))
+        )
+        return _canonicalize(out, df, resolution_fn, canonical_cols)
+
     pair_sets = []
     if blocking_keys:
         pair_sets.append(_pairs_by_blocking_keys(nodes, blocking_keys))
@@ -143,7 +157,13 @@ def resolve(
     out = nodes.join(comp, nodes[RID] == comp["node"], "left").select(
         *df.columns, RID, F.coalesce(F.col("comp"), F.col(RID)).alias(CLUSTER)
     )
+    return _canonicalize(out, df, resolution_fn, canonical_cols)
 
+
+def _canonicalize(out: DataFrame, df: DataFrame, resolution_fn, canonical_cols) -> DataFrame:
+    """Per-cluster canonical values written onto every member: custom
+    ``resolution_fn(group)->dict`` or per-column majority vote with stable
+    lexicographic tie-break (resolve.py:597-673, :729-741)."""
     canon_cols = canonical_cols or [c for c in df.columns]
     schema_fields = [out.schema[CLUSTER]] + [df.schema[c] for c in canon_cols]
     canon_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema_fields)
