@@ -1,0 +1,94 @@
+"""Stage middleware: cache + rate limiting around vectorized transform fns.
+
+The reference wraps every LLM call in a disk cache keyed on the call
+fingerprint (docetl/operations/utils/cache.py:86-105) and token/call-bucket
+rate limiters (docetl/ratelimiter.py, acquired at
+docetl/operations/utils/api.py:343-351). In this engine the unit of
+"semantic work" is an Arrow batch through a ``pd.DataFrame -> pd.DataFrame``
+transform, so both middlewares wrap THAT: each executor task caches /
+throttles per batch, which is exactly how an external-API-backed stage
+(the pluggable LLM path) must behave at 1000 executors — per-task quotas,
+content-keyed result reuse across retries and replays.
+
+Both wrappers preserve determinism: cache hits return byte-identical
+results; rate limiting only inserts sleeps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import time
+from typing import Callable
+
+import pandas as pd
+
+BatchFn = Callable[[pd.DataFrame], pd.DataFrame]
+
+
+def _batch_key(pdf: pd.DataFrame, config_key: str) -> str:
+    """Content fingerprint of (input batch, stage config) — the analogue of
+    the reference's md5 over (model, op_type, messages, schema, ...)."""
+    h = hashlib.sha256(config_key.encode())
+    h.update(str(list(pdf.columns)).encode())
+    h.update(pd.util.hash_pandas_object(pdf, index=False).values.tobytes())
+    return h.hexdigest()
+
+
+def cached(fn: BatchFn, cache_dir: str, config_key: str = "") -> BatchFn:
+    """Disk-cache a batch transform: a batch already processed under the
+    same config returns its stored result without running ``fn``. Replays,
+    retried tasks, and resumed streams hit the cache instead of re-paying
+    the (LLM) cost — the engine-level version of cache.py:86-105.
+
+    ``cache_dir`` must be reachable from executors (local FS in local
+    mode; a shared mount or fuse path on a cluster).
+    """
+    os.makedirs(cache_dir, exist_ok=True)
+
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = _batch_key(pdf, config_key)
+        path = os.path.join(cache_dir, f"{key}.pkl")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        out = fn(pdf)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(out, f)
+        os.replace(tmp, path)  # atomic publish; racing tasks write same bytes
+        return out
+
+    return wrapped
+
+
+def rate_limited(fn: BatchFn, rows_per_sec: float) -> BatchFn:
+    """Throttle a batch transform to ``rows_per_sec`` PER TASK — the
+    per-executor quota shape of ratelimiter.py (a global limit divides by
+    planned parallelism, exactly like per-worker API-key budgets)."""
+    state = {"t": 0.0}
+
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        now = time.monotonic()
+        earliest = state["t"]
+        if earliest > now:
+            time.sleep(earliest - now)
+        state["t"] = max(earliest, now) + len(pdf) / rows_per_sec
+        return fn(pdf)
+
+    return wrapped
+
+
+def as_stage(fn: BatchFn, schema) -> Callable:
+    """Lift a (possibly wrapped) batch fn into a merge-apply TransformStage:
+    ``df -> df.mapInPandas(fn)`` with an explicit output schema."""
+
+    def stage(df):
+        def run(batches):
+            for pdf in batches:
+                yield fn(pdf)
+
+        return df.mapInPandas(run, schema=schema)
+
+    return stage

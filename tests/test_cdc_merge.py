@@ -174,3 +174,28 @@ def test_transform_stage_runs_before_merge(spark, tmp_path, events):
     assert "content_sha" in got.columns
     bad = got.filter(F.col("content_sha") != F.sha2(F.coalesce(F.col("content"), F.lit("")), 256)).count()
     assert bad == 0
+
+
+def test_extreme_hot_key_skew_replay(spark, tmp_path):
+    """North rule: skew from hot repos handled explicitly. skew=8 drives
+    the power-law so hard that one key receives the majority of all
+    events; the narrow winning-key aggregate pre-collapses it map-side
+    (partial combine), so no task ever holds the hot key's full event
+    payload. Final state must still match the declarative oracle exactly."""
+    from docetl_spark.cdc import create_cdc_table, read_state, replay_events
+    from docetl_spark.sources.testgen import final_state_oracle, gen_change_events
+
+    events = gen_change_events(spark, 40_000, n_keys=500, batch_size=10_000, skew=8.0)
+    # confirm the workload is actually skewed: top key > 30% of events
+    top = (
+        events.groupBy("repo", "path", "commit").count().orderBy(F.col("count").desc()).first()
+    )
+    assert top["count"] > 12_000, f"workload not skewed enough: {top['count']}"
+
+    table = create_cdc_table(str(tmp_path / "t"), ["repo", "path", "commit"], num_buckets=8)
+    metrics = replay_events(spark, table, events)
+    assert [m.batch_id for m in metrics] == [0, 1, 2, 3]
+
+    got = read_state(spark, table).select("repo", "path", "commit", "lsn", "content")
+    want = final_state_oracle(events).select("repo", "path", "commit", "lsn", "content")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
