@@ -112,7 +112,7 @@ def _map_stage():
 
 
 def run_replay(master: str, n_events: int, batch_size: int, shuffle_partitions: int,
-               keys_ratio: float = 0.05) -> dict:
+               keys_ratio: float = 0.05, mode: str = "cow") -> dict:
     """One CDC replay: parquet binlog -> map stage -> merge-apply per batch.
 
     ``keys_ratio`` = distinct keys / events. 0.05 is an update-heavy
@@ -146,17 +146,28 @@ def run_replay(master: str, n_events: int, batch_size: int, shuffle_partitions: 
         known_batches = list(range((n_events + batch_size - 1) // batch_size))
         t0 = time.time()
         metrics = replay_events(spark, table, events, winner_stages=[_map_stage()],
-                                batch_ids=known_batches)
+                                batch_ids=known_batches, mode=mode)
         wall = time.time() - t0
+        compact_sec = 0.0
+        if mode == "mor":
+            from docetl_spark.cdc import compact_state
+            t1 = time.time()
+            compact_state(spark, table)
+            compact_sec = round(time.time() - t1, 3)
         n_final = read_state(spark, table).count()
-        return {
+        out = {
             "master": master,
+            "mode": mode,
             "events": n_events,
             "batches": len(metrics),
             "replay_sec": round(wall, 3),
             "events_per_sec": round(n_events / wall, 1),
             "final_rows": n_final,
         }
+        if mode == "mor":
+            out["compact_sec"] = compact_sec
+            out["events_per_sec_incl_compact"] = round(n_events / (wall + compact_sec), 1)
+        return out
     finally:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(binlog_dir, ignore_errors=True)
@@ -225,6 +236,7 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "1000000")))
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--keys-ratio", type=float, default=0.05)
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
     ap.add_argument("--scale-cores", type=int, default=2,
                     help="N for the N vs 4N scaling pair")
     args = ap.parse_args()
@@ -235,7 +247,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     if args.replay_only:
-        print(json.dumps(run_replay(master, args.events, args.batch_size, shuffle, args.keys_ratio)))
+        print(json.dumps(run_replay(master, args.events, args.batch_size, shuffle,
+                                    args.keys_ratio, args.mode)))
         return
 
     if args.scaling:
@@ -255,15 +268,20 @@ def main() -> None:
         print(json.dumps(result))
         return
 
-    replay = run_replay(master, args.events, args.batch_size, shuffle)
+    # Headline = merge-on-read sustained rate including its compaction
+    # (the mode you run a 10^10-event ingest in); copy-on-write reported
+    # alongside (the low-read-latency mode).
+    replay_mor = run_replay(master, args.events, args.batch_size, shuffle, mode="mor")
+    replay_cow = run_replay(master, args.events, args.batch_size, shuffle, mode="cow")
     timings = run_queries(master, sf_dir, shuffle, HEADLINE)
     print(json.dumps({
         "metric": "merge_apply_change_events_per_sec",
-        "value": replay["events_per_sec"],
+        "value": replay_mor["events_per_sec_incl_compact"],
         "unit": "events/sec",
         "queries": timings,
         "sf": _sf_of(sf_dir),
-        "replay": replay,
+        "replay_mor": replay_mor,
+        "replay_cow": replay_cow,
     }))
 
 

@@ -52,6 +52,7 @@ from docetl_spark.lake.table import LakeTable, Snapshot
 from docetl_spark.schema import merge_schemas
 
 FENCE_PROP = "cdc.last-batch-id"
+DELTA_PROP = "cdc.has-deltas"  # true -> MOR deltas present, reads must LWW-dedup
 CONTROL_COLS = ("lsn", "batch_id", "op")
 DELETED_COL = "_deleted"  # tombstone flag: deletes keep (key, lsn) so a
 # late-arriving event with a smaller LSN cannot resurrect a deleted row.
@@ -128,8 +129,24 @@ def merge_apply(
     broadcast_key_limit: int = 500_000,
     strict_lww_ties: bool = False,
     winner_stages: Iterable[TransformStage] = (),
+    mode: str = "cow",
 ) -> MergeMetrics:
     """Apply one microbatch of change events to ``table``.
+
+    ``mode``:
+
+    * ``"cow"`` (copy-on-write, default) — affected buckets rewrite:
+      survivors + winners replace the bucket files. Reads stay cheap
+      (one version per key on disk); each batch pays O(touched-bucket
+      data) write amplification.
+    * ``"mor"`` (merge-on-read) — winner rows APPEND as per-bucket delta
+      files; no current-state read, no survivors, no rewrite: a batch
+      costs O(batch) regardless of table size. LWW resolves at read time
+      (``read_state`` dedups when the table carries deltas) and
+      ``LakeTable.compact(dedup_keys=...)`` folds deltas back to one
+      version per key. This is the Iceberg-v2 MOR shape — the right mode
+      for sustained high-rate ingest; out-of-order and late batches are
+      safe automatically because read-time LWW compares LSNs globally.
 
     ``batch`` columns: ``lsn long, op string in {I,U,D}``, the table's key
     columns, plus any payload columns (which may include columns the table
@@ -237,10 +254,12 @@ def merge_apply(
         affected = sorted(bucket_counts)
 
         bcast = (lambda df: F.broadcast(df)) if n_keys <= broadcast_key_limit else (lambda df: df)
+        is_mor = mode == "mor"
         # Affected buckets with no current files (fresh table / untouched
         # key space) need none of the current-vs-batch machinery — and the
         # broadcast builds it would trigger are pure waste on initial load.
-        has_current = any(snap.files.get(b) for b in affected)
+        # MOR never reads current state: read-time LWW resolves it.
+        has_current = (not is_mor) and any(snap.files.get(b) for b in affected)
 
         cur_beats = None
         batch_won = wk.select(*key_cols, "lsn")
@@ -295,12 +314,15 @@ def merge_apply(
         new_files = table.write_bucket_files(combined, snap_for_bucket, tag, repartition=False)
         metrics.write_sec = time.time() - t_w
 
+        props = {fence_prop: str(batch_id)}
+        if is_mor:
+            props[DELTA_PROP] = "true"
         new_snap = table.commit(
             new_files,
-            replaced_buckets=set(affected),
+            replaced_buckets=set() if is_mor else set(affected),
             schema=evolved,
-            properties={fence_prop: str(batch_id)},
-            summary={"operation": "merge", **metrics.to_dict()},
+            properties=props,
+            summary={"operation": "merge", "mode": mode, **metrics.to_dict()},
             expected_version=snap.version,
         )
         metrics.buckets_touched = len(affected)

@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docetl_spark.cdc.merge import DELETED_COL, FENCE_PROP, MergeMetrics, TransformStage, merge_apply
+from docetl_spark.cdc.merge import (
+    DELETED_COL,
+    DELTA_PROP,
+    FENCE_PROP,
+    MergeMetrics,
+    TransformStage,
+    dedup_last_writer,
+    merge_apply,
+)
 from docetl_spark.lake.table import LakeTable
 
 
@@ -33,11 +41,37 @@ def create_cdc_table(path: str, key_cols: list[str], num_buckets: int = 16) -> L
 
 
 def read_state(spark: SparkSession, table: LakeTable, version: int | None = None) -> DataFrame:
-    """Live (non-tombstoned) rows of a CDC table."""
+    """Live (non-tombstoned) rows of a CDC table.
+
+    When the snapshot carries merge-on-read deltas (``cdc.has-deltas``),
+    the read resolves LWW per key first — the MOR read path. Run
+    ``compact_state`` to fold deltas and make reads cheap again."""
+    snap = table.snapshot(version)
     df = table.read(spark, version)
+    if snap.properties.get(DELTA_PROP) == "true":
+        df = dedup_last_writer(df, snap.key_cols)
     if DELETED_COL in df.columns:
         df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
     return df
+
+
+def compact_state(spark: SparkSession, table: LakeTable, min_files: int = 2):
+    """Fold MOR delta files: per bucket, keep one LWW-winning row per key
+    (tombstones kept — they must still block late lower-LSN arrivals) and
+    clear the read-dedup flag. The write-amplification that CoW pays per
+    batch, paid once here across many batches."""
+    snap = table.snapshot()
+    has_deltas = snap.properties.get(DELTA_PROP) == "true"
+    transform = (lambda df: dedup_last_writer(df, snap.key_cols)) if has_deltas else None
+    new_snap = table.compact(spark, min_files=min_files, transform=transform,
+                             properties={DELTA_PROP: "false"} if has_deltas else None)
+    if new_snap is None and has_deltas:
+        # nothing to rewrite (every bucket already single-file => unique
+        # keys), but the flag still needs an atomic metadata-only clear
+        new_snap = table.commit({}, set(), properties={DELTA_PROP: "false"},
+                                summary={"operation": "compact", "noop": True},
+                                expected_version=snap.version)
+    return new_snap
 
 
 def replay_events(
@@ -49,6 +83,7 @@ def replay_events(
     metrics_path: str | None = None,
     winner_stages: Iterable[TransformStage] = (),
     batch_ids: list[int] | None = None,
+    mode: str = "cow",
 ) -> list[MergeMetrics]:
     """Replay ``events`` batch by batch in ascending ``batch_col`` order.
 
@@ -73,7 +108,7 @@ def replay_events(
     out: list[MergeMetrics] = []
     for bid in batch_ids:
         m = merge_apply(spark, table, events.filter(F.col(batch_col) == bid), int(bid),
-                        stages=stages, winner_stages=winner_stages)
+                        stages=stages, winner_stages=winner_stages, mode=mode)
         out.append(m)
         if metrics_path:
             os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)

@@ -258,6 +258,33 @@ class LakeTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def compact(self, spark: SparkSession, min_files: int = 2, transform=None,
+                properties: dict[str, str] | None = None) -> "Snapshot | None":
+        """Rewrite every bucket holding >= ``min_files`` files into one file
+        (bin-packing compaction, Iceberg rewrite_data_files analogue).
+        ``transform`` (DataFrame -> DataFrame) runs on the compacted rows —
+        e.g. the MOR read-dedup, folding deltas into one version per key.
+        Metadata-commits atomically; readers on old snapshots are
+        unaffected (old files stay until vacuum). Returns the new snapshot,
+        or None if nothing needed compaction."""
+        snap = self.snapshot()
+        todo = {b: fl for b, fl in snap.files.items() if len(fl) >= min_files}
+        if not todo:
+            return None
+        paths = [os.path.join(self.path, f) for fl in todo.values() for f in fl]
+        df = spark.read.schema(snap.schema).parquet(*paths)
+        if transform is not None:
+            df = transform(df)
+        tag = f"compact{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        new_files = self.write_bucket_files(df, snap, tag, repartition=True)
+        return self.commit(
+            new_files,
+            replaced_buckets=set(todo),
+            properties=properties,
+            summary={"operation": "compact", "buckets": len(todo), "files_in": len(paths)},
+            expected_version=snap.version,
+        )
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
         snapshots, and prune old metadata. Returns files removed."""

@@ -59,6 +59,7 @@ def stream_changes(
     trigger_available_now: bool = True,
     query_name: str = "cdc_merge_apply",
     winner_stages: Iterable[TransformStage] = (),
+    mode: str = "cow",
 ) -> StreamingQuery:
     """Run the merge-apply loop over a streaming DataFrame of change events.
 
@@ -73,7 +74,7 @@ def stream_changes(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         m = merge_apply(spark, table, batch_df, int(batch_id), stages=stages,
-                        winner_stages=winner_stages)
+                        winner_stages=winner_stages, mode=mode)
         if metrics_path:
             os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
             with open(metrics_path, "a") as f:

@@ -199,3 +199,24 @@ def test_extreme_hot_key_skew_replay(spark, tmp_path):
     got = read_state(spark, table).select("repo", "path", "commit", "lsn", "content")
     want = final_state_oracle(events).select("repo", "path", "commit", "lsn", "content")
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_compact_preserves_state_and_reduces_files(spark, tmp_path, events):
+    from docetl_spark.cdc import create_cdc_table, read_state, replay_events
+
+    table = create_cdc_table(str(tmp_path / "t"), ["repo", "path", "commit"], num_buckets=4)
+    replay_events(spark, table, events)
+    before = read_state(spark, table).sort("repo", "path", "commit", "lsn").collect()
+    files_before = len(table.snapshot().all_files)
+
+    snap = table.compact(spark)
+    assert snap is not None and snap.summary["operation"] == "compact"
+    files_after = len(table.snapshot().all_files)
+    assert files_after <= len(table.snapshot().files)  # <= one file per bucket
+    assert files_after < files_before
+
+    after = read_state(spark, table).sort("repo", "path", "commit", "lsn").collect()
+    assert before == after
+    # fence survives compaction (properties carried forward)
+    from docetl_spark.cdc.merge import FENCE_PROP
+    assert FENCE_PROP in table.snapshot().properties
