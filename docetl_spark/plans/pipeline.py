@@ -142,7 +142,9 @@ class Pipeline:
 
     config: dict
     intermediate_dir: str | None = None
+    observe: bool = False  # record per-step row counts (selectivity)
     _step_outputs: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)
 
     @classmethod
     def from_yaml(cls, path: str, intermediate_dir: str | None = None) -> "Pipeline":
@@ -190,6 +192,11 @@ class Pipeline:
             if ckpt:
                 df.write.mode("overwrite").parquet(ckpt)
                 df = spark.read.parquet(ckpt)
+            if self.observe:
+                # observed selectivity per step (the reference records
+                # out/in per op at containers.py:543-545); one count per
+                # step boundary, reading the checkpoint when present
+                self.metrics[name] = {"rows_out": df.count()}
             self._step_outputs[name] = df
             last = df
         assert last is not None, "pipeline has no steps"

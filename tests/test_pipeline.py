@@ -88,3 +88,20 @@ def test_pipeline_checkpoint_reuse_and_invalidation(spark, tmp_path):
     p3 = Pipeline.from_yaml(_write(tmp_path, cfg), intermediate_dir=inter)
     assert p3.run(spark).count() < n1
     assert len(os.listdir(inter)) == 2
+
+
+def test_pipeline_observe_records_selectivity(spark, tmp_path):
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [
+            {"name": "s1", "input": "docs", "operations": [
+                {"op": "filter", "where": "doc_id < 30"}]},
+            {"name": "s2", "input": "s1", "operations": [
+                {"op": "filter", "where": "doc_id < 10"}]},
+        ],
+    }
+    p = Pipeline.from_yaml(_write(tmp_path, cfg))
+    p.observe = True
+    p.run(spark)
+    assert p.metrics["s1"]["rows_out"] == 30
+    assert p.metrics["s2"]["rows_out"] == 10

@@ -40,9 +40,10 @@ def py_oracle(events):
     events=st.lists(event_st, min_size=1, max_size=50),
     n_batches=st.integers(min_value=1, max_value=4),
     redeliver=st.integers(min_value=0, max_value=3),
+    mode=st.sampled_from(["cow", "mor"]),
 )
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
-def test_any_stream_any_batching_matches_oracle(spark, events, n_batches, redeliver):
+def test_any_stream_any_batching_matches_oracle(spark, events, n_batches, redeliver, mode):
     rows = [
         (lsn, min(lsn * n_batches // len(events), n_batches - 1),
          op, f"r{k}", f"p{k}", f"c{k}", payload)
@@ -57,14 +58,14 @@ def test_any_stream_any_batching_matches_oracle(spark, events, n_batches, redeli
         table = create_cdc_table(root + "/t", KEYS, num_buckets=4)
         applied = []
         for b in sorted(set(r[1] for r in rows)):
-            m = merge_apply(spark, table, df.filter(df.batch_id == b), b)
+            m = merge_apply(spark, table, df.filter(df.batch_id == b), b, mode=mode)
             assert not m.skipped
             applied.append(b)
 
         # redeliver an already-applied batch: fence must no-op
         rb = applied[redeliver % len(applied)]
         v = table.snapshot().version
-        m = merge_apply(spark, table, df.filter(df.batch_id == rb), rb)
+        m = merge_apply(spark, table, df.filter(df.batch_id == rb), rb, mode=mode)
         assert m.skipped and table.snapshot().version == v
 
         got = {
