@@ -625,6 +625,34 @@ def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id("text").alias("lang_guess"))
 
 
+def q_equijoin_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equijoin with embedding-cosine blocking (reference
+    docetl/operations/equijoin.py:300-405): two disjoint vector sets,
+    pairs kept where cosine >= 0.9."""
+    from docetl_spark.operators import equijoin
+
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 100).select(F.col("vec_id").alias("lid"), F.col("embedding").alias("lv"))
+    right = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)).select(
+        F.col("vec_id").alias("rid"), F.col("embedding").alias("rv")
+    )
+    out = equijoin(left, right, embedding_blocking=("lv", "rv", 0.409))
+    from docetl_spark.functions.vectors import cosine
+
+    return out.select("lid", "rid", F.round(cosine("lv", "rv"), 2).alias("cos"))
+
+
+# threshold 0.409 sits in a >2e-3 gap of the observed cosine distribution
+# and rounding to 2dp keeps engine float-vs-double noise irrelevant
+ORACLE_EQUIJOIN_EMB = """
+SELECT l.vec_id AS lid, r.vec_id AS rid,
+       round(CAST(list_cosine_similarity(l.embedding, r.embedding) AS DOUBLE), 2) AS cos
+FROM embeddings l CROSS JOIN embeddings r
+WHERE l.vec_id < 100 AND r.vec_id >= 100 AND r.vec_id < 300
+  AND list_cosine_similarity(l.embedding, r.embedding) >= 0.409
+"""
+
+
 def q_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank operator (reference docetl/operations/rank.py): staged scoring
     -> total order -> _rank column. Deterministic tie-free score so the
@@ -780,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_top5": q_knn_lsh_top5,
         "text_quality": q_text_quality,
         "lang_id_docs": q_lang_id_docs,
+        "equijoin_embedding": q_equijoin_embedding,
         "rank_docs": q_rank_docs,
         "cluster_docs": q_cluster_docs,
         "link_resolve_repair": q_link_resolve_repair,
@@ -811,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embedding_exact": ORACLE_EMB_EXACT,
         "knn_cosine_top5": ORACLE_KNN,
         "text_quality": ORACLE_TEXT_QUALITY,
+        "equijoin_embedding": ORACLE_EQUIJOIN_EMB,
         "rank_docs": ORACLE_RANK,
         "link_resolve_repair": ORACLE_LINK_RESOLVE,
         "cdc_stream_lww": ORACLE_CDC,

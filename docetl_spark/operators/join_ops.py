@@ -46,26 +46,69 @@ def equijoin(
     limit_left: int | None = None,
     limit_right: int | None = None,
     broadcast_right: bool | None = None,
+    embedding_blocking: tuple[str, str, float] | None = None,
+    embedding_dim: int | None = None,
+    lsh_planes: int = 0,
+    lsh_seed: int = 42,
 ) -> DataFrame:
     """Inner fuzzy join. ``condition`` references suffixed columns for
     collisions (e.g. ``F.col("id_left") == F.col("user_id")``) or any
     column unique to one side. ``limit_left`` caps matches per left row
     (and vice versa). ``verify`` filters candidate pairs post-join.
+
+    ``embedding_blocking=(left_vec_col, right_vec_col, threshold)`` is the
+    reference's cosine blocking phase (equijoin.py:300-405): only pairs
+    with cosine >= threshold become candidates. With ``lsh_planes > 0``
+    (requires ``embedding_dim``) candidates first block on seeded
+    random-hyperplane buckets with single-bit multi-probe — the scale path
+    that avoids the |L|x|R| cross product entirely (the bucket join is an
+    equi-join Catalyst can hash/broadcast) — then exact-cosine filter.
+    Composes with ``condition``/``verify``/limits.
     """
+    from docetl_spark.functions.vectors import cosine, l2_normalize
+
     lkey, rkey = "_ljid", "_rjid"
-    left2, right2, _ = _suffix_collisions(left, right)
+    left2, right2, common = _suffix_collisions(left, right)
     # stable per-row ids for the limit windows (content-derived, not
     # monotonically_increasing_id — deterministic across retries)
     left2 = left2.withColumn(lkey, F.xxhash64(*[F.col(c) for c in left2.columns]))
     right2 = right2.withColumn(rkey, F.xxhash64(*[F.col(c) for c in right2.columns]))
+
+    sim_filter = None
+    if embedding_blocking is not None:
+        vl, vr, thr = embedding_blocking
+        vl = f"{vl}_left" if vl in common else vl
+        vr = f"{vr}_right" if vr in common else vr
+        left2 = left2.withColumn("_nvl", l2_normalize(vl))
+        right2 = right2.withColumn("_nvr", l2_normalize(vr))
+        sim_filter = cosine(F.col("_nvl"), F.col("_nvr")) >= F.lit(thr)
+        if lsh_planes > 0:
+            if not embedding_dim:
+                raise ValueError("lsh_planes requires embedding_dim")
+            from docetl_spark.functions.dedup import hyperplane_bucket
+
+            right2 = right2.withColumn("_bkt", hyperplane_bucket("_nvr", embedding_dim, lsh_planes, lsh_seed))
+            b0 = hyperplane_bucket("_nvl", embedding_dim, lsh_planes, lsh_seed)
+            probes = F.array(b0, *[b0.bitwiseXOR(F.lit(1 << p)) for p in range(lsh_planes)])
+            left2 = left2.withColumn("_bkt", F.explode(probes))
+
     if broadcast_right:
         right2 = F.broadcast(right2)
 
-    if condition is None:
-        joined = left2.crossJoin(right2)
-    else:
-        cond = F.expr(condition) if isinstance(condition, str) else condition
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if embedding_blocking is not None and lsh_planes > 0:
+        joined = left2.join(right2, "_bkt", "inner").drop("_bkt").filter(sim_filter)
+        if cond is not None:
+            joined = joined.filter(cond)
+    elif embedding_blocking is not None:
+        base = left2.join(right2, cond, "inner") if cond is not None else left2.crossJoin(right2)
+        joined = base.filter(sim_filter)
+    elif cond is not None:
         joined = left2.join(right2, cond, "inner")
+    else:
+        joined = left2.crossJoin(right2)
+    if embedding_blocking is not None:
+        joined = joined.drop("_nvl", "_nvr")
 
     if verify is not None:
         if isinstance(verify, Column):

@@ -272,3 +272,35 @@ def test_extract_lines(spark):
     )
     out = extract_lines(df, "text", "spans", name="sel")
     assert out.collect()[0]["text_extracted_sel"] == "l2\nl3\n\nl5"
+
+
+def test_equijoin_embedding_blocking_exact_and_lsh(spark):
+    import math
+
+    def ring(i, n=16):
+        a = 2 * math.pi * i / n
+        return [math.cos(a), math.sin(a)]
+
+    left = spark.createDataFrame(
+        [(i, ring(i)) for i in range(16)], "lid int, v array<double>"
+    )
+    right = spark.createDataFrame(
+        [(j + 100, ring(j)) for j in range(16)], "rid int, w array<double>"
+    )
+    # cos threshold 0.9 => only angular distance <= ~25.8deg => j in {i-1,i,i+1}
+    exact = equijoin(left, right, embedding_blocking=("v", "w", 0.9))
+    got = {(r["lid"], r["rid"]) for r in exact.collect()}
+    want = {(i, ((i + d) % 16) + 100) for i in range(16) for d in (-1, 0, 1)}
+    assert got == want
+
+    # LSH path: recall may drop pairs (bucket boundaries), never adds any,
+    # and always keeps the exact self-match (identical vectors)
+    lsh = equijoin(left, right, embedding_blocking=("v", "w", 0.9),
+                   embedding_dim=2, lsh_planes=4)
+    got_lsh = {(r["lid"], r["rid"]) for r in lsh.collect()}
+    assert got_lsh <= got
+    assert {(i, i + 100) for i in range(16)} <= got_lsh
+
+    # composes with per-side limits
+    lim = equijoin(left, right, embedding_blocking=("v", "w", 0.9), limit_left=1)
+    assert lim.groupBy("lid").count().agg({"count": "max"}).collect()[0][0] == 1
