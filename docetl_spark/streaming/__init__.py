@@ -1,3 +1,4 @@
+from docetl_spark.streaming.stateful import stateful_fold
 from docetl_spark.streaming.stream import read_change_stream, stream_changes
 
-__all__ = ["read_change_stream", "stream_changes"]
+__all__ = ["read_change_stream", "stream_changes", "stateful_fold"]
