@@ -59,11 +59,17 @@ def compact_state(spark: SparkSession, table: LakeTable, min_files: int = 2):
     """Fold MOR delta files: per bucket, keep one LWW-winning row per key
     (tombstones kept — they must still block late lower-LSN arrivals) and
     clear the read-dedup flag. The write-amplification that CoW pays per
-    batch, paid once here across many batches."""
+    batch, paid once here across many batches.
+
+    When deltas exist, EVERY bucket compacts (min_files=1): after a
+    CoW-mode batch on a delta-carrying table, even a single bucket file
+    can hold multiple versions of a key (survivors pass duplicates
+    through), so clearing the read-dedup flag is only safe after a full
+    dedup pass."""
     snap = table.snapshot()
     has_deltas = snap.properties.get(DELTA_PROP) == "true"
     transform = (lambda df: dedup_last_writer(df, snap.key_cols)) if has_deltas else None
-    new_snap = table.compact(spark, min_files=min_files, transform=transform,
+    new_snap = table.compact(spark, min_files=1 if has_deltas else min_files, transform=transform,
                              properties={DELTA_PROP: "false"} if has_deltas else None)
     if new_snap is None and has_deltas:
         # nothing to rewrite (every bucket already single-file => unique

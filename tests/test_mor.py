@@ -86,3 +86,37 @@ def test_mor_out_of_order_batch_is_safe(spark, tmp_path):
     merge_apply(spark, table, spark.createDataFrame(rows_old, schema), 1, mode="mor")
     got = {r["repo"]: r["content"] for r in read_state(spark, table).collect()}
     assert got == {f"r{i}": f"new{i}" for i in range(5)}
+
+
+def test_mode_switch_mid_stream_is_safe(spark, tmp_path):
+    """CoW batches then MOR batches (and back) over one table: read-time
+    LWW over mixed bucket files must still equal the oracle — operators
+    can change the write mode per batch without migration."""
+    events = _events(spark)
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=4)
+    modes = {0: "cow", 1: "mor", 2: "mor", 3: "cow"}
+    for b in range(4):
+        merge_apply(spark, table, events.filter(F.col("batch_id") == b), b, mode=modes[b])
+    got = df_rows(read_state(spark, table).select(*KEYS, "lsn", "content"))
+    want = df_rows(final_state_oracle(events).select(*KEYS, "lsn", "content"))
+    assert got == want
+
+
+def test_compact_after_mode_switch_restores_unique_keys(spark, tmp_path):
+    """Regression: a CoW batch on a delta-carrying table can pass duplicate
+    key versions into a SINGLE survivor file; compact_state must still
+    dedup every bucket before clearing the read-dedup flag."""
+    events = _events(spark)
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=4)
+    for b, m in [(0, "mor"), (1, "mor"), (2, "cow"), (3, "cow")]:
+        merge_apply(spark, table, events.filter(F.col("batch_id") == b), b, mode=m)
+    compact_state(spark, table)
+    assert table.snapshot().properties[DELTA_PROP] == "false"
+    # raw read (no dedup) must now have unique keys
+    raw = table.read(spark)
+    n_rows = raw.count()
+    n_keys = raw.select(*KEYS).distinct().count()
+    assert n_rows == n_keys
+    got = df_rows(read_state(spark, table).select(*KEYS, "lsn", "content"))
+    want = df_rows(final_state_oracle(events).select(*KEYS, "lsn", "content"))
+    assert got == want
