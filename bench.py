@@ -48,6 +48,11 @@ HEADLINE = [
     "near_dup_minhash_lsh",
     "knn_cosine_top5",
     "text_quality",
+    "equijoin_embedding",
+    "rank_docs",
+    "link_resolve_repair",
+    "cluster_docs",
+    "cdc_stream_lww",
 ]
 
 

@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docetl_spark.lake.table import LakeTable, Snapshot
+from docetl_spark.lake.table import CommitConflict, LakeTable, Snapshot
 from docetl_spark.schema import merge_schemas
 
 FENCE_PROP = "cdc.last-batch-id"
@@ -317,14 +317,25 @@ def merge_apply(
         props = {fence_prop: str(batch_id)}
         if is_mor:
             props[DELTA_PROP] = "true"
-        new_snap = table.commit(
-            new_files,
-            replaced_buckets=set() if is_mor else set(affected),
-            schema=evolved,
-            properties=props,
-            summary={"operation": "merge", "mode": mode, **metrics.to_dict()},
-            expected_version=snap.version,
-        )
+        try:
+            new_snap = table.commit(
+                new_files,
+                replaced_buckets=set() if is_mor else set(affected),
+                schema=evolved,
+                properties=props,
+                summary={"operation": "merge", "mode": mode, **metrics.to_dict()},
+                expected_version=snap.version,
+            )
+        except CommitConflict:
+            # A concurrent writer committed first. If it applied THIS batch
+            # (duplicate delivery racing us), the fence makes our work a
+            # no-op — exactly-once holds. Anything else must be retried by
+            # the caller against fresh state (our files stay orphaned until
+            # vacuum; they were never referenced).
+            cur = table.snapshot()
+            if int(cur.properties.get(fence_prop, "-1")) >= batch_id:
+                return MergeMetrics(batch_id=batch_id, skipped=True, snapshot_version=cur.version)
+            raise
         metrics.buckets_touched = len(affected)
         metrics.bucket_rows = {str(b): int(c) for b, c in bucket_counts.items()}
         metrics.snapshot_version = new_snap.version

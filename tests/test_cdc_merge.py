@@ -220,3 +220,58 @@ def test_compact_preserves_state_and_reduces_files(spark, tmp_path, events):
     # fence survives compaction (properties carried forward)
     from docetl_spark.cdc.merge import FENCE_PROP
     assert FENCE_PROP in table.snapshot().properties
+
+
+def test_commit_conflict_resolves_to_skip_or_raise(spark, tmp_path, events):
+    """Racing writers: if the interloper applied the SAME batch, our merge
+    resolves to a fenced no-op; if it applied something else, we raise for
+    the caller to retry against fresh state."""
+    from docetl_spark.cdc import create_cdc_table, merge_apply
+    from docetl_spark.cdc.merge import FENCE_PROP
+    from docetl_spark.lake.table import CommitConflict, LakeTable
+
+    table = create_cdc_table(str(tmp_path / "t"), ["repo", "path", "commit"], num_buckets=4)
+    b0 = events.filter(F.col("batch_id") == 0)
+
+    # interloper commits batch 0 between our snapshot read and commit
+    real_commit = LakeTable.commit
+    fired = {"n": 0}
+
+    def racing_commit(self, *args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            real_commit(self, {}, set(), properties={FENCE_PROP: "0"},
+                        summary={"operation": "interloper"})
+        return real_commit(self, *args, **kwargs)
+
+    LakeTable.commit = racing_commit
+    try:
+        m = merge_apply(spark, table, b0, 0)
+        assert m.skipped  # same batch already applied -> exactly-once no-op
+    finally:
+        LakeTable.commit = real_commit
+
+    # different-batch conflict -> CommitConflict surfaces for retry
+    fired["n"] = 0
+
+    def racing_commit2(self, *args, **kwargs):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            real_commit(self, {}, set(), properties={"unrelated": "x"},
+                        summary={"operation": "interloper"})
+        return real_commit(self, *args, **kwargs)
+
+    LakeTable.commit = racing_commit2
+    try:
+        try:
+            merge_apply(spark, table, events.filter(F.col("batch_id") == 1), 1)
+            raised = False
+        except CommitConflict:
+            raised = True
+        assert raised
+    finally:
+        LakeTable.commit = real_commit
+
+    # clean retry now succeeds
+    m = merge_apply(spark, table, events.filter(F.col("batch_id") == 1), 1)
+    assert not m.skipped
