@@ -43,18 +43,46 @@ def knn_brute(
 def knn_lsh(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
     k: int = 10, planes: int = 8, seed: int = 42, query_id_col: str | None = None,
+    tables: int = 3,
 ) -> DataFrame:
+    """``tables`` independent hyperplane tables (different seeds) union
+    their candidates — the standard LSH recall lever: a true neighbor is
+    missed only if it separates from the query in EVERY table. Candidate
+    (query, neighbor) id pairs dedup BEFORE scoring so the final rank
+    window sees each pair once; vectors join back onto the (small)
+    candidate set rather than riding through the bucket joins."""
     query_id_col = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
-    c = c.withColumn("_bucket", hyperplane_bucket("_cv", dim, planes, seed))
     q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
-    qb = q.withColumn("_b0", hyperplane_bucket("_qv", dim, planes, seed))
-    # multi-probe: own bucket + every single-bit flip (planes+1 probes)
-    probes = F.array(F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(planes)])
-    qx = qb.select("_qid", "_qv", F.explode(probes).alias("_bucket"))
-    scored = (
-        c.join(qx, "_bucket")
+
+    c_ids = c.select(
+        "_nid",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("_t"), hyperplane_bucket("_cv", dim, planes, seed + t).alias("_b"))
+            for t in range(tables)
+        ])).alias("_tb"),
+    ).select("_nid", "_tb._t", "_tb._b")
+    # per table: own bucket + every single-bit flip (multi-probe)
+    q_ids = q.select(
+        "_qid",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("_t"), probe.alias("_b"))
+            for t in range(tables)
+            for probe in (lambda b0: [b0] + [b0.bitwiseXOR(F.lit(1 << p)) for p in range(planes)])(
+                hyperplane_bucket("_qv", dim, planes, seed + t)
+            )
+        ])).alias("_tb"),
+    ).select("_qid", "_tb._t", "_tb._b")
+
+    pairs = (
+        c_ids.join(q_ids, ["_t", "_b"])
         .filter(F.col("_nid") != F.col("_qid"))
+        .select("_qid", "_nid")
+        .distinct()
+    )
+    scored = (
+        pairs.join(c, "_nid")
+        .join(F.broadcast(q), "_qid")
         .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
     )
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))

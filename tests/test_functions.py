@@ -169,3 +169,43 @@ def test_multimodal_stub_and_plumbing(spark):
     frames = multimodal.frame_sample(df.filter("id = 2"), "blob", "meta", every_ms=1000)
     assert frames.count() == 3
     assert [r["frame_ts_ms"] for r in frames.orderBy("frame_ts_ms").collect()] == [0, 1000, 2000]
+
+
+def test_knn_lsh_recall_vs_brute(spark):
+    """Quantified quality bound for the approximate path on CLUSTERED
+    embeddings (the real-world shape; uniformly random vectors have no
+    meaningful neighbors for ANY ANN index): multi-probe LSH top-5 must
+    recover >= 70% of exact top-5 pairs."""
+    from docetl_spark.functions.ann import knn_brute, knn_lsh
+
+    rng = np.random.RandomState(7)
+    dim, rows = 16, []
+    for c in range(20):
+        center = rng.randn(dim)
+        center /= np.linalg.norm(center)
+        for j in range(20):
+            v = center + 0.15 * rng.randn(dim)
+            rows.append((c * 100 + j, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_brute(emb, queries, "vec_id", "embedding", k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in knn_lsh(emb, queries, "vec_id", "embedding", dim, k=5, planes=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH recall {recall:.2f} below bound"
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+    """MinHash-LSH candidates must recover >= 70% of true high-jaccard
+    pairs on the synthetic near-dup corpus."""
+    from docetl_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r["_id1"], r["_id2"]) for r in
+             ngram_jaccard_pairs(docs, "id", "text", shingle_n=3, threshold=0.8).collect()}
+    cand = {(r["_id1"], r["_id2"]) for r in
+            minhash_lsh_pairs(docs, "id", "text", num_hashes=32, bands=16, threshold=0.6).collect()}
+    assert exact, "fixture produced no true near-dup pairs"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.7, f"minhash recall {recall:.2f} below bound"
