@@ -625,6 +625,27 @@ def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id("text").alias("lang_guess"))
 
 
+def q_sample_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample(method='outliers') — reference docetl/operations/sample.py:
+    390-432: distance from the embedding centroid, cutoff mean + std*sd,
+    keep inside."""
+    from docetl_spark.operators import sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = sample(emb, method="outliers", embedding_col="embedding", std=1.0, keep="inside")
+    return kept.select("vec_id")
+
+
+ORACLE_SAMPLE_OUTLIERS = """
+WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS x
+           FROM embeddings),
+c AS (SELECT d, avg(x) AS m FROM u GROUP BY d),
+dist AS (SELECT vec_id, sqrt(sum((x - m) * (x - m))) AS dist FROM u JOIN c USING (d) GROUP BY vec_id),
+s AS (SELECT avg(dist) + 1.0 * stddev_pop(dist) AS cutoff FROM dist)
+SELECT vec_id FROM dist, s WHERE dist <= cutoff
+"""
+
+
 def q_equijoin_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equijoin with embedding-cosine blocking (reference
     docetl/operations/equijoin.py:300-405): two disjoint vector sets,
@@ -808,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_top5": q_knn_lsh_top5,
         "text_quality": q_text_quality,
         "lang_id_docs": q_lang_id_docs,
+        "sample_outliers": q_sample_outliers,
         "equijoin_embedding": q_equijoin_embedding,
         "rank_docs": q_rank_docs,
         "cluster_docs": q_cluster_docs,
@@ -840,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embedding_exact": ORACLE_EMB_EXACT,
         "knn_cosine_top5": ORACLE_KNN,
         "text_quality": ORACLE_TEXT_QUALITY,
+        "sample_outliers": ORACLE_SAMPLE_OUTLIERS,
         "equijoin_embedding": ORACLE_EQUIJOIN_EMB,
         "rank_docs": ORACLE_RANK,
         "link_resolve_repair": ORACLE_LINK_RESOLVE,
