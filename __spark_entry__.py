@@ -169,13 +169,16 @@ def q_events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 4).alias("avg_value"),
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        # cast to double on BOTH sides: DuckDB sum(BIGINT) yields HUGEINT
+        # (fetched as float64), Spark sum(long) yields long — the driver
+        # hashes 99111 vs 99111.0 as different values otherwise
+        F.sum(F.get_json_object("props", "$.k").cast("long")).cast("double").alias("sum_k"),
     )
 
 
 ORACLE_PROPS = """
 SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS DOUBLE) AS sum_k
 FROM events GROUP BY event_type
 """
 

@@ -164,9 +164,11 @@ def merge_apply(
     survive. Winner-stage output columns join schema evolution exactly
     like batch columns.
 
-    LSNs are assumed unique per key within a batch (standard WAL/binlog
-    property). If yours can tie, set ``strict_lww_ties=True`` to add a
-    deterministic struct-max tiebreak over the (small) winner set.
+    LSNs are normally unique per key within a batch (standard WAL/binlog
+    property); violations are DETECTED for free in the phase-1 stats
+    aggregate and resolved with a deterministic struct-max tiebreak over
+    the (small) winner set. ``strict_lww_ties=True`` forces the tiebreak
+    unconditionally.
     """
     t0 = time.time()
     snap = table.snapshot()
@@ -207,6 +209,7 @@ def merge_apply(
     wk = batch.groupBy(*key_cols).agg(
         F.max("lsn").alias("lsn"),
         F.count(F.lit(1)).alias("_events"),
+        F.count_distinct("lsn").alias("_nlsn"),
         F.max_by("op", "lsn").alias("_op"),
     )
     persisted = []
@@ -221,6 +224,7 @@ def merge_apply(
                 F.count(F.lit(1)).alias("keys"),
                 F.sum("_events").alias("events"),
                 F.sum((F.col("_op") == "D").cast("long")).alias("dels"),
+                F.sum((F.col("_events") != F.col("_nlsn")).cast("long")).alias("dup_lsn_keys"),
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
             )
@@ -229,6 +233,12 @@ def merge_apply(
         bucket_counts = {r["_bucket"]: r["keys"] for r in per_bucket}
         n_keys = sum(bucket_counts.values())
         n_del = int(sum(r["dels"] for r in per_bucket))
+        # keys with a repeated LSN inside this batch: the (key, lsn) join-
+        # back would keep BOTH tying rows, silently writing duplicate key
+        # versions. Detected for free in the same stats collect; when
+        # present, the winner set (small) gets a deterministic struct-max
+        # tiebreak below.
+        has_lsn_ties = int(sum(r["dup_lsn_keys"] for r in per_bucket)) > 0
 
         metrics = MergeMetrics(
             batch_id=batch_id,
@@ -298,7 +308,7 @@ def merge_apply(
             winners = batch if cur_beats is None else batch.join(bcast(cur_beats), key_cols, "left_anti")
         else:
             winners = batch.join(bcast(batch_won), [*key_cols, "lsn"], "inner")
-            if strict_lww_ties:
+            if strict_lww_ties or has_lsn_ties:
                 winners = dedup_last_writer(winners, key_cols)
         winners = _winner_staged(winners)
         winners = _align(winners.withColumn(DELETED_COL, F.col("op") == F.lit("D")), evolved)

@@ -27,12 +27,34 @@ import pandas as pd
 BatchFn = Callable[[pd.DataFrame], pd.DataFrame]
 
 
+def _cell_bytes(v) -> bytes:
+    """Stable byte form for values hash_pandas_object rejects (lists,
+    dicts, ndarrays — i.e. Arrow array<>/struct<> columns)."""
+    import json
+
+    return json.dumps(
+        v, sort_keys=True, default=lambda o: o.tolist() if hasattr(o, "tolist") else str(o)
+    ).encode()
+
+
 def _batch_key(pdf: pd.DataFrame, config_key: str) -> str:
     """Content fingerprint of (input batch, stage config) — the analogue of
-    the reference's md5 over (model, op_type, messages, schema, ...)."""
+    the reference's md5 over (model, op_type, messages, schema, ...).
+
+    Arrow batches of array/struct columns arrive as object columns holding
+    unhashable values; those hash column-by-column through a canonical JSON
+    byte form instead of pd.util.hash_pandas_object."""
     h = hashlib.sha256(config_key.encode())
     h.update(str(list(pdf.columns)).encode())
-    h.update(pd.util.hash_pandas_object(pdf, index=False).values.tobytes())
+    try:
+        h.update(pd.util.hash_pandas_object(pdf, index=False).values.tobytes())
+    except TypeError:
+        for c in pdf.columns:
+            try:
+                h.update(pd.util.hash_pandas_object(pdf[c], index=False).values.tobytes())
+            except TypeError:
+                for v in pdf[c]:
+                    h.update(_cell_bytes(v))
     return h.hexdigest()
 
 

@@ -118,8 +118,15 @@ def resolve(
         # thing.
         from pyspark.sql import Window
 
+        # NULL-keyed rows stay singletons, matching the pair-join path
+        # (SQL join null semantics never pair them); without the guard the
+        # window would lump every NULL-keyed row into one cluster.
+        all_nonnull = F.lit(True)
+        for k in blocking_keys:
+            all_nonnull = all_nonnull & F.col(k).isNotNull()
         out = nodes.withColumn(
-            CLUSTER, F.min(RID).over(Window.partitionBy(*blocking_keys))
+            CLUSTER,
+            F.when(all_nonnull, F.min(RID).over(Window.partitionBy(*blocking_keys))).otherwise(F.col(RID)),
         )
         return _canonicalize(out, df, resolution_fn, canonical_cols)
 

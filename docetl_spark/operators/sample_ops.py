@@ -55,6 +55,24 @@ def sample(
                 fracs = {r[0]: samples for r in df.select(stratify_key).distinct().collect()}
                 return df.sampleBy(stratify_key, fractions=fracs, seed=seed)
             return df.sample(fraction=samples, seed=seed)
+        if stratify_key:
+            # int count + stratify_key: proportional per-stratum quota
+            # ceil(samples * n_g / N) — the distributed analogue of the
+            # reference's sklearn stratified train_test_split
+            # (sample.py:via stratify=). Quota join is a broadcast of
+            # |strata| rows; selection order is the seeded hash, so the
+            # same rows win at any parallelism. Total may exceed `samples`
+            # by < |strata| rows (ceiling), matching per-group fairness.
+            counts = df.groupBy(stratify_key).agg(F.count(F.lit(1)).alias("_n"))
+            total = counts.agg(F.sum("_n")).collect()[0][0]
+            quota = F.ceil(F.lit(int(samples)) * F.col("_n") / F.lit(int(total)))
+            w = Window.partitionBy(stratify_key).orderBy(_hash_order(df, seed))
+            return (
+                df.join(F.broadcast(counts.withColumn("_quota", quota).drop("_n")), on=stratify_key)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= F.col("_quota"))
+                .drop("_rn", "_quota")
+            )
         # exact-count deterministic sample: global sort by seeded hash, take n
         return df.orderBy(_hash_order(df, seed)).limit(int(samples))
     if method == "first":
@@ -162,4 +180,8 @@ def topk(
     if isinstance(k, float) and 0 < k < 1:
         k = max(1, math.ceil(k * df.count()))
     top = scored.orderBy(order, tiebreak).limit(int(k))
-    return top.withColumn(f"_{name}_rank", F.row_number().over(Window.orderBy(order, tiebreak)))
+    # rank window runs over ≤ k rows (post-limit); constant partition key
+    # silences the single-partition warning without changing the plan shape
+    return top.withColumn(
+        f"_{name}_rank", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(order, tiebreak))
+    )

@@ -65,7 +65,11 @@ def split(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i * group + 1, group), joiner))
     )
 
-    doc_id = F.sha2(F.coalesce(F.col(split_key), F.lit("")), 256)
+    # id over ALL columns, not just the split text: two different source
+    # rows with identical text must stay separate documents downstream
+    # (reference split.py:74 uses a per-row uuid4; the full-row hash is the
+    # deterministic, replay-stable analogue — same convention as add_uuid).
+    doc_id = F.sha2(F.to_json(F.struct(*[F.col(c) for c in df.columns])), 256)
     out = (
         df.withColumn(f"{name}_id", doc_id)
         .withColumn("_chunks", chunk_expr)

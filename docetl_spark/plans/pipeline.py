@@ -174,7 +174,10 @@ class Pipeline:
             ckpt = None
             if self.intermediate_dir:
                 ckpt = os.path.join(self.intermediate_dir, f"{name}-{self._prefix_hash(name)}")
-                if os.path.isdir(ckpt):  # checkpoint hit: reuse, skip recompute
+                # a checkpoint only counts when the write COMPLETED: a
+                # crashed run leaves committed task files without _SUCCESS,
+                # which must be recomputed, not silently reused
+                if os.path.exists(os.path.join(ckpt, "_SUCCESS")):  # checkpoint hit
                     last = spark.read.parquet(ckpt)
                     self._step_outputs[name] = last
                     continue
