@@ -423,6 +423,24 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN (1, 3, 5, 7, 11, 400
 """
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample(uniform, int count, stratify_key): per-stratum quota is
+    ceil(samples * n_g / N). WHICH rows win depends on the seeded hash
+    order (not SQL-reproducible), so the contract checks the per-stratum
+    allocation counts — exactly what stratification guarantees."""
+    from docetl_spark.operators import sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample(docs, "uniform", samples=50, stratify_key="lang", seed=42)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+SELECT lang, CAST(ceil(50.0 * count(*) / (SELECT count(*) FROM documents)) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang
+"""
+
+
 def q_topk_fts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.operators import topk
 
@@ -499,23 +517,71 @@ WHERE a.doc_id < b.doc_id
 
 
 def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates — probabilistic blocking, no exact
-    SQL equivalent (rows-only check; exact variants are oracled above)."""
-    from docetl_spark.functions.dedup import minhash_lsh_pairs
+    """MinHash-LSH near-dup with exact-jaccard verify — the RECALL
+    CONTRACT: LSH banding (32 hashes / 16 bands) only BLOCKS; candidates
+    are verified with exact unigram jaccard >= 0.8, so the result must
+    equal the brute-force oracle unless LSH drops a true pair (P(miss) =
+    (1 - 0.8^2)^16 ~ 8e-8 per pair). A hash mismatch here IS a recall
+    failure."""
+    from docetl_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16, threshold=0.7).select(
-        F.col("_id1").alias("id1"), F.col("_id2").alias("id2"), F.round("match_score", 4).alias("match_score")
-    )
+    cands = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16,
+                              shingle_n=1, threshold=0.0)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, threshold=0.8,
+                                candidates=cands)
+    return pairs.select(F.col("_id1").alias("id1"), F.col("_id2").alias("id2"), "jaccard")
+
+
+# same truth as ORACLE_JACCARD: brute-force exact unigram jaccard >= 0.8
+ORACLE_MINHASH_LSH = """
+WITH t AS (
+  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM t a, t b
+WHERE a.doc_id < b.doc_id
+  AND round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+"""
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures — vectorized pandas UDF, no SQL equivalent
-    (rows-only check; determinism asserted in pytest)."""
+    """SimHash signatures, bit-for-bit oracled: the per-token hash is
+    md5[:8] little-endian, which DuckDB reproduces in SQL (unnest tokens ->
+    per-bit +1/-1 votes -> sign bits)."""
     from docetl_spark.functions.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return docs.select("doc_id", simhash("text").alias("sig"))
+
+
+_SIMHASH_HEX_LE = " || ".join(f"substr(m, {j}, 2)" for j in (15, 13, 11, 9, 7, 5, 3, 1))
+
+ORACLE_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tk
+  FROM documents WHERE doc_id < 100
+),
+h AS (
+  SELECT doc_id, ('0x' || {_SIMHASH_HEX_LE})::UBIGINT AS hv
+  FROM (SELECT doc_id, md5(tk) AS m FROM tok)
+),
+votes AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(64) b(b) GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808 THEN coalesce(s.u, 0) - 18446744073709551616
+                 ELSE coalesce(s.u, 0) END AS BIGINT) AS sig
+FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d LEFT JOIN sig s USING (doc_id)
+"""
 
 
 def q_near_dup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,14 +630,38 @@ SELECT query_id, neighbor_id, round(raw, 6) AS cosine, CAST(rnk AS INT) AS rank 
 
 
 def q_knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — approximate (recall < 1 by design), rows-only."""
-    from docetl_spark.functions.ann import knn_lsh
+    """LSH-bucketed ANN recall CONTRACT: the approximate top-5 is compared
+    in-engine against the exact brute-force top-5; each query must retain
+    recall@5 >= 0.6. The oracle enumerates the query ids with
+    recall_ok=true, so any query dipping under the bound hash-mismatches.
+    (The raw neighbor lists are approximate by design — recall < 1 — so
+    they can't be equality-oracled; the bound is the operator's contract.)"""
+    from docetl_spark.functions.ann import knn_brute, knn_lsh
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 5)
     dim = len(emb.select("embedding").first()[0])
-    out = knn_lsh(emb, queries, "vec_id", "embedding", dim=dim, k=5, planes=8)
-    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    # both sides are tiny (|Q|*k rows); localCheckpoint pins them so the
+    # recall joins below don't re-run the full LSH/brute pipelines
+    approx = knn_lsh(emb, queries, "vec_id", "embedding", dim=dim, k=5,
+                     planes=6, tables=6, probe_bits=2).localCheckpoint()
+    exact = knn_brute(emb, queries, "vec_id", "embedding", k=5).localCheckpoint()
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select("query_id", (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(5.0) >= 0.6).alias("recall_ok"))
+    )
+
+
+ORACLE_KNN_LSH = """
+SELECT DISTINCT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -626,6 +716,36 @@ def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def _lang_marker_values() -> str:
+    """DuckDB VALUES list generated from the engine's marker table, so the
+    oracle can never drift from functions/text.py:_LANG_MARKERS."""
+    from docetl_spark.functions.text import _LANG_MARKERS
+
+    return ", ".join(
+        "('%s', [%s])" % (lang, ", ".join("'%s'" % w for w in words))
+        for lang, words in sorted(_LANG_MARKERS.items())
+    )
+
+
+# argmax of marker-hit counts; ties break to the lexicographically larger
+# lang (Spark's array_max over (hits, lang) structs) — the printf key
+# '%06d~%s' sorts identically. 'und' when no marker hits at all.
+ORACLE_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)) AS toks
+  FROM documents
+),
+v AS (
+  SELECT doc_id, u.l AS l,
+         len(list_filter(toks, x -> list_contains(u.words, x))) AS h
+  FROM t, (VALUES {_lang_marker_values()}) AS u(l, words)
+)
+SELECT doc_id,
+       coalesce(right(max(printf('%06d~%s', h, l)) FILTER (WHERE h > 0), 2), 'und') AS lang_guess
+FROM v GROUP BY doc_id
+"""
 
 
 def q_sample_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest_doc_tokens": q_unnest_doc_tokens,
         "extract_regex_docs": q_extract_regex_docs,
         "sample_custom_keys": q_sample_custom_keys,
+        "sample_stratified": q_sample_stratified,
         "topk_fts_docs": q_topk_fts_docs,
         "dedup_exact_docs": q_dedup_exact_docs,
         "near_dup_unigram_jaccard": q_near_dup_unigram_jaccard,
@@ -859,17 +980,22 @@ def oracle_sql() -> dict[str, str]:
         "unnest_doc_tokens": ORACLE_UNNEST,
         "extract_regex_docs": ORACLE_EXTRACT,
         "sample_custom_keys": ORACLE_SAMPLE_CUSTOM,
+        "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "topk_fts_docs": ORACLE_TOPK_FTS,
         "dedup_exact_docs": ORACLE_DEDUP_EXACT,
         "near_dup_unigram_jaccard": ORACLE_JACCARD,
+        "near_dup_minhash_lsh": ORACLE_MINHASH_LSH,
+        "simhash_docs": ORACLE_SIMHASH,
         "near_dup_embedding_exact": ORACLE_EMB_EXACT,
         "knn_cosine_top5": ORACLE_KNN,
+        "knn_lsh_top5": ORACLE_KNN_LSH,
         "text_quality": ORACLE_TEXT_QUALITY,
+        "lang_id_docs": ORACLE_LANG_ID,
         "sample_outliers": ORACLE_SAMPLE_OUTLIERS,
         "equijoin_embedding": ORACLE_EQUIJOIN_EMB,
         "rank_docs": ORACLE_RANK,
         "link_resolve_repair": ORACLE_LINK_RESOLVE,
         "cdc_stream_lww": ORACLE_CDC,
-        # rows-only (no SQL equivalent): near_dup_minhash_lsh, simhash_docs,
-        # knn_lsh_top5, lang_id_docs, cluster_docs
+        # rows-only (no SQL equivalent): cluster_docs (a Ward dendrogram
+        # isn't SQL; its distributed/blocked path is pytest-covered)
     }

@@ -43,34 +43,54 @@ def knn_brute(
 def knn_lsh(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
     k: int = 10, planes: int = 8, seed: int = 42, query_id_col: str | None = None,
-    tables: int = 3,
+    tables: int = 3, probe_bits: int = 1,
 ) -> DataFrame:
     """``tables`` independent hyperplane tables (different seeds) union
     their candidates — the standard LSH recall lever: a true neighbor is
     missed only if it separates from the query in EVERY table. Candidate
     (query, neighbor) id pairs dedup BEFORE scoring so the final rank
     window sees each pair once; vectors join back onto the (small)
-    candidate set rather than riding through the bucket joins."""
+    candidate set rather than riding through the bucket joins.
+
+    ``probe_bits`` is the multi-probe depth: 1 visits the query's bucket
+    plus every single-bit flip (planes+1 probes/table); 2 adds all 2-bit
+    flips (+C(planes,2)) — the second recall lever when a true neighbor
+    straddles two hyperplanes. Probes multiply only the QUERY side, which
+    is tiny; the corpus carries one row per table either way."""
+    from itertools import combinations
+
     query_id_col = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
     q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
 
-    c_ids = c.select(
+    flips = [0] + [1 << p for p in range(planes)]
+    if probe_bits >= 2:
+        flips += [(1 << a) | (1 << b) for a, b in combinations(range(planes), 2)]
+
+    c_b0 = c.select(
+        "_nid",
+        *[hyperplane_bucket("_cv", dim, planes, seed + t).alias(f"_b0_{t}") for t in range(tables)],
+    )
+    c_ids = c_b0.select(
         "_nid",
         F.explode(F.array(*[
-            F.struct(F.lit(t).alias("_t"), hyperplane_bucket("_cv", dim, planes, seed + t).alias("_b"))
-            for t in range(tables)
+            F.struct(F.lit(t).alias("_t"), F.col(f"_b0_{t}").alias("_b")) for t in range(tables)
         ])).alias("_tb"),
     ).select("_nid", "_tb._t", "_tb._b")
-    # per table: own bucket + every single-bit flip (multi-probe)
-    q_ids = q.select(
+    # materialize per-table base buckets as columns FIRST: inlining the
+    # hyperplane fold into every probe struct duplicates its (large)
+    # expression tree tables*probes times — Catalyst does not CSE it and
+    # codegen compile time explodes
+    q_b0 = q.select(
+        "_qid", "_qv",
+        *[hyperplane_bucket("_qv", dim, planes, seed + t).alias(f"_b0_{t}") for t in range(tables)],
+    )
+    q_ids = q_b0.select(
         "_qid",
         F.explode(F.array(*[
-            F.struct(F.lit(t).alias("_t"), probe.alias("_b"))
+            F.struct(F.lit(t).alias("_t"), F.col(f"_b0_{t}").bitwiseXOR(F.lit(m)).alias("_b"))
             for t in range(tables)
-            for probe in (lambda b0: [b0] + [b0.bitwiseXOR(F.lit(1 << p)) for p in range(planes)])(
-                hyperplane_bucket("_qv", dim, planes, seed + t)
-            )
+            for m in flips
         ])).alias("_tb"),
     ).select("_qid", "_tb._t", "_tb._b")
 

@@ -130,8 +130,10 @@ def _simhash64(texts: pd.Series) -> pd.Series:
     import hashlib
 
     def h64(tok: str) -> int:
-        # blake2b, NOT builtin hash(): python str hash is per-process salted
-        return int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little")
+        # md5, NOT builtin hash(): python str hash is per-process salted;
+        # md5 is also available in external SQL engines, which lets the
+        # driver's DuckDB oracle reproduce signatures bit-for-bit
+        return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "little")
 
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts.fillna("")):
@@ -186,7 +188,12 @@ def ngram_jaccard_pairs(
     sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
     s1 = sh.select(F.col("_id").alias("_id1"), F.col("_sh").alias("_sh1"))
     s2 = sh.select(F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2"))
-    jac = F.size(F.array_intersect("_sh1", "_sh2")) / F.greatest(F.size(F.array_union("_sh1", "_sh2")), F.lit(1))
+    # rounded BEFORE the threshold: the 6dp contract makes the kept pair
+    # set identical across engines (float noise near the cut can't flip
+    # membership between Spark and an external SQL oracle)
+    jac = F.round(
+        F.size(F.array_intersect("_sh1", "_sh2")) / F.greatest(F.size(F.array_union("_sh1", "_sh2")), F.lit(1)), 6
+    )
     return (
         candidates.select("_id1", "_id2").join(s1, "_id1").join(s2, "_id2")
         .withColumn("jaccard", jac.cast("double"))
