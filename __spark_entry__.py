@@ -410,6 +410,31 @@ FROM documents WHERE doc_id < 100
 # sampling / topk
 # ---------------------------------------------------------------------------
 
+def q_parsing_fanout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parsing-tool 1->N fan-out (reference dataset.py:241-315): every doc
+    row fans into one row per overlapping 20-word window (stride 10),
+    original columns carried through ``{**item, **res}``."""
+    from docetl_spark.sources.parsing import apply_parsing
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select("doc_id", "lang", "text")
+    out = apply_parsing(
+        docs,
+        [{"function": "word_windows", "input_key": "text", "output_key": "window",
+          "function_kwargs": {"window": 20, "stride": 10}}],
+    )
+    return out.select("doc_id", "lang", "window")
+
+
+ORACLE_PARSING = """
+WITH t AS (
+  SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, lang, array_to_string(toks[gs + 1 : gs + 20], ' ') AS window
+FROM (SELECT doc_id, lang, toks, unnest(range(0, greatest(len(toks), 1), 10)) AS gs FROM t)
+"""
+
+
 def q_sample_custom_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.operators import sample
 
@@ -941,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_rendered": q_gather_rendered,
         "unnest_doc_tokens": q_unnest_doc_tokens,
         "extract_regex_docs": q_extract_regex_docs,
+        "parsing_fanout_docs": q_parsing_fanout_docs,
         "sample_custom_keys": q_sample_custom_keys,
         "sample_stratified": q_sample_stratified,
         "topk_fts_docs": q_topk_fts_docs,
@@ -979,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "gather_rendered": ORACLE_GATHER,
         "unnest_doc_tokens": ORACLE_UNNEST,
         "extract_regex_docs": ORACLE_EXTRACT,
+        "parsing_fanout_docs": ORACLE_PARSING,
         "sample_custom_keys": ORACLE_SAMPLE_CUSTOM,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "topk_fts_docs": ORACLE_TOPK_FTS,

@@ -102,6 +102,93 @@ def rate_limited(fn: BatchFn, rows_per_sec: float) -> BatchFn:
     return wrapped
 
 
+def validated(
+    fn: BatchFn,
+    rule: Callable[[pd.DataFrame], "pd.Series"],
+    num_retries: int = 2,
+    on_fail: str = "keep",
+) -> BatchFn:
+    """Validation-retry wrapper (reference api.py:465-510 + the rule
+    evaluator validation.py:98-107): run ``fn``, evaluate ``rule`` per
+    output row, re-run ONLY the failing rows up to ``num_retries`` times,
+    exactly like the reference re-prompts with feedback appended.
+
+    ``fn`` must be row-aligned (one output row per input row — the map
+    contract). Retried input rows carry a ``_retry_attempt`` int column
+    (1-based) — the engine's analogue of the feedback message: a
+    deterministic transform can branch on it; an LLM-backed transform
+    renders it into the re-prompt. Rows still failing after the budget:
+    ``keep`` (reference default — output returned, validation recorded),
+    ``drop`` (discard), or ``raise``.
+    """
+    if on_fail not in ("keep", "drop", "raise"):
+        raise ValueError(f"on_fail must be keep|drop|raise, got {on_fail!r}")
+
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = fn(pdf)
+        if len(out) != len(pdf):
+            raise ValueError("validated() needs a row-aligned fn (one output row per input row)")
+        out = out.reset_index(drop=True)
+        failing = ~rule(out).astype(bool).reset_index(drop=True)
+        for attempt in range(1, num_retries + 1):
+            if not failing.any():
+                break
+            retry_in = pdf.reset_index(drop=True)[failing].copy()
+            retry_in["_retry_attempt"] = attempt
+            retry_out = fn(retry_in).reset_index(drop=True)
+            if len(retry_out) != len(retry_in):
+                raise ValueError("validated() retry fn broke row alignment")
+            retry_out = retry_out.drop(columns=["_retry_attempt"], errors="ignore")
+            out.loc[failing.to_numpy(), list(retry_out.columns)] = retry_out.to_numpy()
+            failing_sub = ~rule(out[failing.to_numpy()]).astype(bool).to_numpy()
+            idx = failing[failing].index
+            failing.loc[idx] = failing_sub
+        if failing.any():
+            if on_fail == "raise":
+                raise ValueError(f"{int(failing.sum())} rows failed validation after {num_retries} retries")
+            if on_fail == "drop":
+                return out[~failing.to_numpy()].reset_index(drop=True)
+        return out
+
+    return wrapped
+
+
+def gleaned(
+    fn: BatchFn,
+    should_refine: Callable[[pd.DataFrame], "pd.Series"],
+    refine: Callable[[pd.DataFrame, pd.DataFrame, int], pd.DataFrame],
+    num_rounds: int = 2,
+) -> BatchFn:
+    """Gleaning wrapper — the bounded refine loop (reference
+    api.py:307-462): after the main transform, a judge
+    (``should_refine``, per-row bool over the output — the engine form of
+    the validator's ``should_refine`` verdict) selects rows to improve;
+    ``refine(input_rows, current_output_rows, round)`` produces their next
+    version. At most ``num_rounds`` rounds, early exit when nothing needs
+    refinement — byte-identical to the reference's round/break protocol.
+    Row-aligned like ``validated``. Composes under ``cached`` so a replay
+    pays zero refine cost.
+    """
+
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf.reset_index(drop=True)
+        out = fn(src)
+        if len(out) != len(src):
+            raise ValueError("gleaned() needs a row-aligned fn (one output row per input row)")
+        out = out.reset_index(drop=True)
+        for rnd in range(num_rounds):
+            mask = should_refine(out).astype(bool).reset_index(drop=True)
+            if not mask.any():
+                break  # reference: should_glean false -> break (api.py:341)
+            refined = refine(src[mask.to_numpy()], out[mask.to_numpy()], rnd).reset_index(drop=True)
+            if len(refined) != int(mask.sum()):
+                raise ValueError("gleaned() refine broke row alignment")
+            out.loc[mask.to_numpy(), list(refined.columns)] = refined.to_numpy()
+        return out
+
+    return wrapped
+
+
 def as_stage(fn: BatchFn, schema) -> Callable:
     """Lift a (possibly wrapped) batch fn into a merge-apply TransformStage:
     ``df -> df.mapInPandas(fn)`` with an explicit output schema."""

@@ -38,6 +38,42 @@ def _suffix_collisions(left: DataFrame, right: DataFrame) -> tuple[DataFrame, Da
     return left, right, common
 
 
+def _cap_comparisons(
+    joined: DataFrame,
+    lkey: str,
+    rkey: str,
+    limit_comparisons: int,
+    length_cols: tuple[str, str] | None,
+) -> DataFrame:
+    """Deterministic comparison-budget cap before the verify phase
+    (reference equijoin.py:271-294 + stratified_length_sample :549-602).
+
+    Reference protocol: group blocked pairs by the longer-avg-length side's
+    item, order each group by the other item's length (longest first), and
+    take limit//n_groups (+1 for the remainder) per group. Distributed
+    form: per-stratum rank window with the same priority, per-stratum cap
+    of base+1, then an exact global TakeOrdered at the budget preferring
+    low per-stratum ranks — the same round-robin fairness, deterministic
+    via hash tiebreaks instead of dict order. Every job here is bounded:
+    the post-cap set is <= ~2x the budget."""
+    n = joined.count()
+    if n <= limit_comparisons:
+        return joined
+    if length_cols:
+        ll, rl = F.length(F.col(length_cols[0])), F.length(F.col(length_cols[1]))
+        avg = joined.agg(F.avg(ll).alias("l"), F.avg(rl).alias("r")).collect()[0]
+        use_left = (avg["l"] or 0.0) > (avg["r"] or 0.0)
+        stratum, prio = (lkey, rl) if use_left else (rkey, ll)
+    else:
+        stratum, prio = lkey, F.lit(0)
+    tie = F.xxhash64(F.col(lkey), F.col(rkey))
+    n_strata = joined.select(stratum).distinct().count()
+    base = max(1, limit_comparisons // max(n_strata, 1))
+    w = Window.partitionBy(stratum).orderBy(prio.desc(), tie)
+    capped = joined.withColumn("_cmp_rn", F.row_number().over(w)).filter(F.col("_cmp_rn") <= base + 1)
+    return capped.orderBy(F.col("_cmp_rn"), prio.desc(), tie).limit(limit_comparisons).drop("_cmp_rn")
+
+
 def equijoin(
     left: DataFrame,
     right: DataFrame,
@@ -50,6 +86,8 @@ def equijoin(
     embedding_dim: int | None = None,
     lsh_planes: int = 0,
     lsh_seed: int = 42,
+    limit_comparisons: int | None = None,
+    comparison_length_cols: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Inner fuzzy join. ``condition`` references suffixed columns for
     collisions (e.g. ``F.col("id_left") == F.col("user_id")``) or any
@@ -109,6 +147,10 @@ def equijoin(
         joined = left2.crossJoin(right2)
     if embedding_blocking is not None:
         joined = joined.drop("_nvl", "_nvr")
+
+    if limit_comparisons is not None:
+        # budget cap on candidate pairs BEFORE the (expensive) verify phase
+        joined = _cap_comparisons(joined, lkey, rkey, int(limit_comparisons), comparison_length_cols)
 
     if verify is not None:
         if isinstance(verify, Column):

@@ -188,10 +188,16 @@ def value_sample(
       input order; here order must be explicit to be deterministic)
     * ``sem_sim`` — top ``sample_size`` by cosine similarity of
       ``embedding_col`` to ``query_vec`` (reduce.py:430-464)
+    * ``cluster`` — ``sample_size`` diverse representatives per group via
+      deterministic greedy farthest-point k-center over ``embedding_col``
+      — the seedless analogue of the reference's KMeans + one-pick-per-
+      cluster (reduce.py:404-439); same goal (coverage of the group's
+      embedding space), reproducible at any parallelism. Grouped apply:
+      the k-center loop is O(sample_size * |group|) numpy per group.
 
-    One shuffle (the rank window partitions by the reduce key — the same
-    partitioning the downstream grouped reduce needs, so AQE/exchange
-    reuse makes the sample effectively free).
+    One shuffle (the rank window / grouped apply partitions by the reduce
+    key — the same partitioning the downstream grouped reduce needs, so
+    AQE/exchange reuse makes the sample effectively free).
     """
     from pyspark.sql import Window
 
@@ -210,6 +216,34 @@ def value_sample(
             raise ValueError("sem_sim needs embedding_col and query_vec")
         q = F.array(*[F.lit(float(v)) for v in query_vec])
         order = [cosine(F.col(embedding_col), q).desc()]
+    elif method == "cluster":
+        if not embedding_col:
+            raise ValueError("cluster needs embedding_col")
+        import numpy as np
+
+        hcol = "_vs_h"
+        df3 = df2.withColumn(hcol, F.xxhash64(*[F.col(c) for c in df2.columns], F.lit(seed)))
+        out_schema = df3.drop(hcol).schema
+        out_names = [f.name for f in out_schema.fields]
+
+        def kcenter(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) <= sample_size:
+                return pdf[out_names]
+            pdf = pdf.sort_values(hcol, kind="mergesort").reset_index(drop=True)
+            X = np.asarray(pdf[embedding_col].tolist(), dtype=float)
+            chosen = [0]  # deterministic start: first row in hash order
+            d = np.linalg.norm(X - X[0], axis=1)
+            for _ in range(sample_size - 1):
+                nxt = int(d.argmax())
+                chosen.append(nxt)
+                d = np.minimum(d, np.linalg.norm(X - X[nxt], axis=1))
+            return pdf.iloc[sorted(chosen)][out_names]
+
+        return (
+            df3.groupBy(*gcols)
+            .applyInPandas(kcenter, schema=out_schema)
+            .drop(*[g for g in gcols if g not in df.columns])
+        )
     else:
         raise ValueError(f"unknown value_sampling method {method!r}")
     w = Window.partitionBy(*gcols).orderBy(*order)

@@ -51,7 +51,13 @@ def _op_scan(spark: SparkSession, datasets: dict, cfg: dict) -> DataFrame:
             reader = reader.option("inferSchema", "true")
     if fmt == "json":
         reader = reader.option("multiLine", str(ds.get("multiline", True)).lower())
-    return reader.format(fmt).load(path)
+    df = reader.format(fmt).load(path)
+    if ds.get("parsing"):
+        # dataset-level parsing-tool fan-out (reference dataset.py:250-315)
+        from docetl_spark.sources.parsing import apply_parsing
+
+        df = apply_parsing(df, ds["parsing"])
+    return df
 
 
 def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> DataFrame:

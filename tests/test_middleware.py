@@ -49,3 +49,130 @@ def test_rate_limited_throttles():
     fn(pdf)  # no wait for the first batch
     fn(pdf)  # must wait ~0.5s (500 rows / 1000 rps debt)
     assert time.monotonic() - t0 >= 0.45
+
+
+# -- validation-retry + gleaning (reference api.py:307-510) -------------------
+
+
+def test_validated_retries_until_pass():
+    # fn succeeds only when it sees _retry_attempt >= 1 (the engine's
+    # feedback channel): first pass fails the rule, retry fixes it
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        attempt = pdf["_retry_attempt"] if "_retry_attempt" in pdf.columns else pd.Series(0, index=pdf.index)
+        out = pdf[["doc_id"]].copy()
+        out["val"] = pdf["doc_id"].where(attempt.to_numpy() >= 1, -1)
+        return out
+
+    from docetl_spark.cdc.middleware import validated
+
+    wrapped = validated(fn, rule=lambda out: out["val"] >= 0, num_retries=2)
+    got = wrapped(pd.DataFrame({"doc_id": [1, 2, 3]}))
+    assert got["val"].tolist() == [1, 2, 3]
+
+
+def test_validated_round_cap_and_on_fail():
+    from docetl_spark.cdc.middleware import validated
+
+    calls = {"n": 0}
+
+    def always_bad(pdf: pd.DataFrame) -> pd.DataFrame:
+        calls["n"] += 1
+        out = pdf[["doc_id"]].copy()
+        out["val"] = -1
+        return out
+
+    rule = lambda out: out["val"] >= 0  # noqa: E731
+    kept = validated(always_bad, rule, num_retries=2, on_fail="keep")(pd.DataFrame({"doc_id": [1]}))
+    assert kept["val"].tolist() == [-1] and calls["n"] == 3  # 1 + 2 retries (round cap)
+
+    dropped = validated(always_bad, rule, num_retries=1, on_fail="drop")(pd.DataFrame({"doc_id": [1]}))
+    assert len(dropped) == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="failed validation"):
+        validated(always_bad, rule, num_retries=0, on_fail="raise")(pd.DataFrame({"doc_id": [1]}))
+
+
+def test_validated_only_failing_rows_retry():
+    from docetl_spark.cdc.middleware import validated
+
+    seen = []
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        seen.append(sorted(pdf["doc_id"].tolist()))
+        out = pdf[["doc_id"]].copy()
+        if "_retry_attempt" in pdf.columns:
+            out["val"] = pdf["doc_id"]  # retry fixes
+        else:
+            out["val"] = pdf["doc_id"].where(pdf["doc_id"] % 2 == 0, -1)
+        return out
+
+    got = validated(fn, rule=lambda o: o["val"] >= 0, num_retries=1)(pd.DataFrame({"doc_id": [1, 2, 3, 4]}))
+    assert got["val"].tolist() == [1, 2, 3, 4]
+    assert seen == [[1, 2, 3, 4], [1, 3]]  # only odd (failing) rows re-ran
+
+
+def test_gleaned_refine_rounds_and_early_exit():
+    from docetl_spark.cdc.middleware import gleaned
+
+    rounds_seen = []
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["doc_id"]].copy()
+        out["score"] = 0.0
+        return out
+
+    def judge(out: pd.DataFrame) -> pd.Series:
+        return out["score"] < 1.0  # refine until score reaches 1
+
+    def refine(src: pd.DataFrame, cur: pd.DataFrame, rnd: int) -> pd.DataFrame:
+        rounds_seen.append((rnd, len(cur)))
+        out = cur.copy()
+        out["score"] = out["score"] + 0.5
+        return out
+
+    got = gleaned(fn, judge, refine, num_rounds=5)(pd.DataFrame({"doc_id": [1, 2]}))
+    assert got["score"].tolist() == [1.0, 1.0]
+    # 2 refine rounds then early exit (judge satisfied), never 5
+    assert rounds_seen == [(0, 2), (1, 2)]
+
+
+def test_gleaned_composes_with_cache(tmp_path):
+    from docetl_spark.cdc.middleware import cached, gleaned
+
+    work = {"fn": 0, "refine": 0}
+
+    def fn(pdf):
+        work["fn"] += 1
+        out = pdf[["doc_id"]].copy()
+        out["score"] = 0.0
+        return out
+
+    def refine(src, cur, rnd):
+        work["refine"] += 1
+        out = cur.copy()
+        out["score"] = 1.0
+        return out
+
+    pipeline = cached(gleaned(fn, lambda o: o["score"] < 1.0, refine, num_rounds=2),
+                      str(tmp_path / "c"), config_key="glean")
+    pdf = pd.DataFrame({"doc_id": [1, 2]})
+    a = pipeline(pdf)
+    b = pipeline(pdf)  # cache hit: no extra fn/refine work
+    assert a.equals(b)
+    assert work == {"fn": 1, "refine": 1}
+
+
+def test_validated_through_spark_stage(spark):
+    from docetl_spark.cdc.middleware import as_stage, validated
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        attempt = pdf["_retry_attempt"] if "_retry_attempt" in pdf.columns else pd.Series(0, index=pdf.index)
+        out = pdf[["id"]].copy()
+        out["ok"] = ((pdf["id"] % 3 != 0) | (attempt.to_numpy() > 0)).astype(bool)
+        return out
+
+    stage = as_stage(validated(fn, rule=lambda o: o["ok"], num_retries=1), "id long, ok boolean")
+    out = stage(spark.range(30))
+    assert out.count() == 30 and out.filter("NOT ok").count() == 0

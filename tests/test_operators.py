@@ -405,3 +405,52 @@ def test_merge_lww_tie_dedup(spark, tmp_path):
     row = {r["k"]: r["payload"] for r in state.collect()}
     assert row["a"] == "v3"  # deterministic struct-max tiebreak on the payload
     assert row["b"] == "w1"
+
+
+def test_value_sample_cluster_diverse_representatives(spark):
+    from docetl_spark.operators.reduce_ops import value_sample
+
+    # two groups; group "a" has 3 tight clusters of 10 points each —
+    # greedy k-center with sample_size=3 must pick one point from EACH
+    # cluster (diversity), never two from the same cluster
+    rows = []
+    for c, center in enumerate([0.0, 100.0, 200.0]):
+        for j in range(10):
+            rows.append(("a", c * 10 + j, [center + j * 0.1, 0.0]))
+    for j in range(2):
+        rows.append(("b", 100 + j, [float(j), 0.0]))
+    df = spark.createDataFrame(rows, "g string, id long, emb array<double>")
+    out = value_sample(df, "g", method="cluster", sample_size=3, embedding_col="emb")
+    a = [r["id"] for r in out.filter("g = 'a'").collect()]
+    assert len(a) == 3
+    assert sorted(i // 10 for i in a) == [0, 1, 2]  # one per tight cluster
+    # small group passes through untouched
+    assert out.filter("g = 'b'").count() == 2
+    # deterministic
+    b = [r["id"] for r in value_sample(df, "g", method="cluster", sample_size=3, embedding_col="emb").filter("g='a'").collect()]
+    assert sorted(a) == sorted(b)
+
+
+def test_equijoin_limit_comparisons_budget(spark):
+    left = spark.createDataFrame(
+        [(i, "k", "x" * (i + 1)) for i in range(10)], "lid long, k string, ltext string"
+    )
+    right = spark.createDataFrame(
+        [(j, "k", "y" * (5 * j + 1)) for j in range(10)], "rid long, k string, rtext string"
+    )
+    full = equijoin(left, right, condition=F.col("k_left") == F.col("k_right"))
+    assert full.count() == 100
+    capped = equijoin(left, right, condition=F.col("k_left") == F.col("k_right"),
+                      limit_comparisons=20, comparison_length_cols=("ltext", "rtext"))
+    assert capped.count() == 20
+    # right side is longer on average -> strata = right rows, priority =
+    # LONGEST left matches first: every right row keeps its 2 longest lids
+    per = capped.groupBy("rid").agg(F.count(F.lit(1)).alias("n"), F.max(F.length("ltext")).alias("mx"))
+    assert all(r["n"] == 2 and r["mx"] == 10 for r in per.collect())
+    # deterministic
+    c2 = equijoin(left, right, condition=F.col("k_left") == F.col("k_right"),
+                  limit_comparisons=20, comparison_length_cols=("ltext", "rtext"))
+    assert sorted((r["lid"], r["rid"]) for r in capped.collect()) == sorted((r["lid"], r["rid"]) for r in c2.collect())
+    # under budget: untouched
+    assert equijoin(left, right, condition=F.col("k_left") == F.col("k_right"),
+                    limit_comparisons=1000).count() == 100
