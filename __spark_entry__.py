@@ -544,31 +544,42 @@ WHERE a.doc_id < b.doc_id
 def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup with exact-jaccard verify — the RECALL
     CONTRACT: LSH banding (32 hashes / 16 bands) only BLOCKS; candidates
-    are verified with exact unigram jaccard >= 0.8, so the result must
-    equal the brute-force oracle unless LSH drops a true pair (P(miss) =
-    (1 - 0.8^2)^16 ~ 8e-8 per pair). A hash mismatch here IS a recall
-    failure."""
+    are pre-filtered on the signature estimate (>= 0.4: a true j>=0.8 pair
+    has est ~ Binomial(32,0.8)/32, P(est<0.4) ~ 1e-9) and verified with
+    exact 3-gram jaccard >= 0.8, so the result must equal the brute-force
+    oracle unless LSH drops a true pair (P(band miss) = (1-0.8^2)^16 ~
+    8e-8). A hash mismatch here IS a recall failure. Trigram shingles keep
+    the near-dup set sparse (unigram jaccard is degenerate on a shared
+    vocabulary — see near_dup_unigram_jaccard for that brute baseline)."""
     from docetl_spark.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     cands = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16,
-                              shingle_n=1, threshold=0.0)
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, threshold=0.8,
+                              shingle_n=3, threshold=0.4)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.8,
                                 candidates=cands)
     return pairs.select(F.col("_id1").alias("id1"), F.col("_id2").alias("id2"), "jaccard")
 
 
-# same truth as ORACLE_JACCARD: brute-force exact unigram jaccard >= 0.8
+# brute-force exact trigram jaccard >= 0.8 (mirrors functions/dedup.py
+# shingles(): lowercased whitespace tokens, distinct 3-gram joins, at
+# least one shingle even for short docs)
 ORACLE_MINHASH_LSH = """
 WITH t AS (
-  SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS toks
-  FROM documents
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i : i + 2], ' '))) AS sh
+  FROM (
+    SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)) AS toks
+    FROM documents
+  )
 )
 SELECT a.doc_id AS id1, b.doc_id AS id2,
-       round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard
 FROM t a, t b
 WHERE a.doc_id < b.doc_id
-  AND round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(list_distinct(list_concat(a.toks, b.toks))), 6) >= 0.8
+  AND round(len(list_intersect(a.sh, b.sh)) * 1.0 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= 0.8
 """
 
 

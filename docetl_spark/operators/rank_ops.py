@@ -126,7 +126,7 @@ def _distributed_global_rank(scored: DataFrame, order: list, rank_col: str) -> D
 
 def rank(
     df: DataFrame,
-    score: Column | str,
+    score: Column | str | None = None,
     direction: str = "desc",
     name: str = "rank",
     k: int | None = None,
@@ -136,9 +136,16 @@ def rank(
     rerank_call_budget: int = 10,
     num_top_items_per_window: int = 3,
     overlap_fraction: float = 0.5,
+    score_fn: Callable[[pd.DataFrame], pd.Series] | None = None,
 ) -> DataFrame:
     """Total ordering by score; adds ``_{name}_rank`` (1-based) and keeps
     ``_{name}_score``.
+
+    Initial ordering: ``score`` (Column expression — the embedding path)
+    or ``score_fn`` (Arrow-batched pandas scorer — the plug point for the
+    reference's likert / calibrated_embedding raters, rank.py:498,:988: an
+    LLM-backed per-doc rating slots in here, composable with
+    ``middleware.cached``/``rate_limited``/``validated``).
 
     With ``k``, only the top-k are returned (TakeOrderedAndProject — no
     global sort). Without ``k``, ranks come from range-partitioned
@@ -151,8 +158,23 @@ def rank(
       returns window-relative indices of the best n rows.
     * ``rerank_fn`` — legacy single-pass head-window rescoring.
     """
-    sc = F.col(score) if isinstance(score, str) else score
-    scored = df.withColumn(f"_{name}_score", sc.cast("double"))
+    if (score is None) == (score_fn is None):
+        raise ValueError("rank needs exactly one of score / score_fn")
+    if score_fn is not None:
+        import pyspark.sql.types as T
+
+        schema = T.StructType(list(df.schema.fields) + [T.StructField(f"_{name}_score", T.DoubleType(), True)])
+
+        def add_score(batches):
+            for pdf in batches:
+                out = pdf.copy()
+                out[f"_{name}_score"] = score_fn(pdf).astype(float).to_numpy()
+                yield out
+
+        scored = df.mapInPandas(add_score, schema)
+    else:
+        sc = F.col(score) if isinstance(score, str) else score
+        scored = df.withColumn(f"_{name}_score", sc.cast("double"))
     order = (
         [F.col(f"_{name}_score").desc()] if direction == "desc" else [F.col(f"_{name}_score").asc()]
     ) + [F.xxhash64(*[F.col(c) for c in df.columns])]

@@ -454,3 +454,18 @@ def test_equijoin_limit_comparisons_budget(spark):
     # under budget: untouched
     assert equijoin(left, right, condition=F.col("k_left") == F.col("k_right"),
                     limit_comparisons=1000).count() == 100
+
+
+def test_rank_score_fn_batch_scorer(spark):
+    # pluggable Arrow-batch scorer = the likert/calibrated_embedding plug
+    # point (rank.py:498/:988): deterministic rater, same result as the
+    # equivalent column expression
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(50)], "id long, s double")
+    by_fn = rank(df, score_fn=lambda pdf: pdf["s"] * 2 + 1, name="r", k=10)
+    by_col = rank(df, score=F.col("s") * 2 + 1, name="r", k=10)
+    assert [r["id"] for r in by_fn.orderBy("_r_rank").collect()] == [
+        r["id"] for r in by_col.orderBy("_r_rank").collect()
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="exactly one"):
+        rank(df)
