@@ -208,13 +208,19 @@ class LakeTable:
         properties: dict[str, str] | None = None,
         summary: dict | None = None,
         expected_version: int | None = None,
+        num_buckets: int | None = None,
     ) -> Snapshot:
         """Publish a new snapshot: untouched buckets carry their old files
         forward; ``replaced_buckets`` take only the new files. Raises
-        CommitConflict if someone else committed first (retry by re-reading)."""
+        CommitConflict if someone else committed first (retry by re-reading).
+        ``num_buckets`` changes the bucket spec — only legal when every old
+        bucket is replaced (bucket ids are meaningless across specs)."""
         cur = self.snapshot()
         if expected_version is not None and cur.version != expected_version:
             raise CommitConflict(f"expected v{expected_version}, table at v{cur.version}")
+        if num_buckets is not None and num_buckets != cur.num_buckets:
+            if set(cur.files) - set(replaced_buckets):
+                raise ValueError("changing num_buckets requires replacing every bucket")
         files = {b: list(fl) for b, fl in cur.files.items() if b not in replaced_buckets}
         for b, fl in new_files_by_bucket.items():
             files.setdefault(b, [])
@@ -224,7 +230,7 @@ class LakeTable:
         self._write_meta(
             version=cur.version + 1,
             schema=schema or cur.schema,
-            num_buckets=cur.num_buckets,
+            num_buckets=num_buckets if num_buckets is not None else cur.num_buckets,
             key_cols=cur.key_cols,
             files=files,
             properties=props,
@@ -282,6 +288,35 @@ class LakeTable:
             replaced_buckets=set(todo),
             properties=properties,
             summary={"operation": "compact", "buckets": len(todo), "files_in": len(paths)},
+            expected_version=snap.version,
+        )
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> "Snapshot | None":
+        """Bucket-spec evolution (the Iceberg partition-spec-evolution
+        analogue): rewrite the whole table under ``new_num_buckets`` in one
+        atomic commit. The scale lever when key-space growth makes
+        per-bucket files too large — double the buckets, halve the bucket
+        rewrite cost of every future CoW merge.
+
+        O(table) one-time cost, run like a maintenance window; readers on
+        old snapshots are unaffected (time travel still resolves the old
+        spec), and the very next ``merge_apply`` picks the new spec up from
+        the fresh snapshot. All versions of a key land in one new bucket
+        (bucket = hash of the full composite key), so MOR read-dedup and
+        per-bucket compaction stay correct; deltas and tombstones are
+        carried through verbatim."""
+        snap = self.snapshot()
+        if new_num_buckets == snap.num_buckets:
+            return None
+        df = self.read(spark)  # every live row: winners, deltas, tombstones
+        new_spec = Snapshot(**{**snap.__dict__, "num_buckets": new_num_buckets})
+        tag = f"rebucket{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        new_files = self.write_bucket_files(df, new_spec, tag, repartition=True)
+        return self.commit(
+            new_files,
+            replaced_buckets=set(snap.files),
+            num_buckets=new_num_buckets,
+            summary={"operation": "rebucket", "from": snap.num_buckets, "to": new_num_buckets},
             expected_version=snap.version,
         )
 

@@ -275,3 +275,47 @@ def test_commit_conflict_resolves_to_skip_or_raise(spark, tmp_path, events):
     # clean retry now succeeds
     m = merge_apply(spark, table, events.filter(F.col("batch_id") == 1), 1)
     assert not m.skipped
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, tmp_path, events):
+    from docetl_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F2
+
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=4)
+    first = events.filter(F2.col("batch_id") < 3)
+    replay_events(spark, table, first)
+    before = state_hashes(read_state(spark, table))
+    v_old = table.snapshot().version
+
+    snap = table.rebucket(spark, 16)
+    assert snap.num_buckets == 16
+    assert set(snap.files) <= set(range(16)) and len(snap.files) > 4
+    # state byte-identical through the spec change
+    assert state_hashes(read_state(spark, table)) == before
+    # time travel still resolves the OLD spec
+    old = table.snapshot(v_old)
+    assert old.num_buckets == 4
+    assert state_hashes(read_state(spark, table, version=v_old)) == before
+    # fence survived: already-applied batches still no-op
+    assert replay_events(spark, table, first) == []
+    # the next merge picks up the new spec and ends at the oracle state
+    replay_events(spark, table, events)
+    assert state_hashes(read_state(spark, table)) == state_hashes(final_state_oracle(events))
+    # no-op when the count is unchanged
+    assert table.rebucket(spark, 16) is None
+
+
+def test_rebucket_with_mor_deltas_then_compact(spark, tmp_path, events):
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=4)
+    replay_events(spark, table, events, mode="mor")
+    want = state_hashes(final_state_oracle(events))
+    assert state_hashes(read_state(spark, table)) == want
+
+    table.rebucket(spark, 8)  # deltas + tombstones carried verbatim
+    assert state_hashes(read_state(spark, table)) == want
+    from docetl_spark.cdc import compact_state
+
+    compact_state(spark, table)  # per-bucket LWW fold still correct: all
+    # versions of a key hash to one new bucket
+    assert table.snapshot().properties.get("cdc.has-deltas") == "false"
+    assert state_hashes(read_state(spark, table)) == want

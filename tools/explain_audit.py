@@ -30,6 +30,10 @@ CROSS_OK = {
     "knn_cosine_top5",
     "near_dup_embedding_exact",
     "near_dup_unigram_jaccard",
+    # exact cosine blocking = the reference's own brute blocking phase
+    # (equijoin.py:300-405), kept as the oracle-matched baseline; the LSH
+    # bucketed scale path (lsh_planes>0) is pytest-covered
+    "equijoin_embedding",
 }
 # Driver-side / multi-job queries where a single final plan isn't the story.
 SKIP = {"cdc_merge_lww", "cdc_stream_lww", "cluster_docs"}
