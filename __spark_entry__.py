@@ -784,6 +784,51 @@ FROM v GROUP BY doc_id
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path, oracled end-to-end: each doc gets a real
+    8x8 24-bit BMP of constant value (doc_id % 251), encoded and decoded
+    DISTRIBUTED through the binary-column plumbing
+    (functions/multimodal.py); the extracted features of a constant image
+    are exactly SQL-predictable (mean = value, std = 0, n = 8*8*3)."""
+    import numpy as np
+
+    from docetl_spark.functions import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id")
+    schema = "doc_id long, blob binary"
+
+    def make(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["blob"] = [
+                mm.encode_bmp(np.full((8, 8, 3), int(d) % 251, dtype=np.uint8)) for d in pdf["doc_id"]
+            ]
+            yield pdf
+
+    with_blob = docs.mapInPandas(make, schema).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"), F.lit("bmp").alias("format"),
+            F.lit(8).alias("width"), F.lit(8).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"), F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+    out = mm.extract_features(with_blob, "blob", "meta")
+    return out.select(
+        "doc_id",
+        F.round("feat_mean", 6).alias("feat_mean"),
+        F.round("feat_std", 6).alias("feat_std"),
+        F.col("feat_n").alias("n_values"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id, CAST(doc_id % 251 AS DOUBLE) AS feat_mean, 0.0 AS feat_std,
+       CAST(192 AS BIGINT) AS n_values
+FROM documents WHERE doc_id < 40
+"""
+
+
 def q_sample_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sample(method='outliers') — reference docetl/operations/sample.py:
     390-432: distance from the embedding centroid, cutoff mean + std*sd,
@@ -990,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_top5": q_knn_lsh_top5,
         "text_quality": q_text_quality,
         "lang_id_docs": q_lang_id_docs,
+        "multimodal_features": q_multimodal_features,
         "sample_outliers": q_sample_outliers,
         "equijoin_embedding": q_equijoin_embedding,
         "rank_docs": q_rank_docs,
@@ -1029,6 +1075,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh_top5": ORACLE_KNN_LSH,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id_docs": ORACLE_LANG_ID,
+        "multimodal_features": ORACLE_MULTIMODAL,
         "sample_outliers": ORACLE_SAMPLE_OUTLIERS,
         "equijoin_embedding": ORACLE_EQUIJOIN_EMB,
         "rank_docs": ORACLE_RANK,

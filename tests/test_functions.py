@@ -209,3 +209,62 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
     assert exact, "fixture produced no true near-dup pairs"
     recall = len(exact & cand) / len(exact)
     assert recall >= 0.7, f"minhash recall {recall:.2f} below bound"
+
+
+def test_wav_bmp_native_decode_roundtrip():
+    # WAV: 16-bit PCM round trip within quantization error
+    t = np.linspace(0, 1, 1600, endpoint=False)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    blob = multimodal.encode_wav(sig, sample_rate=1600)
+    back = multimodal.decode_wav(blob)
+    assert back.shape == (1600,)
+    assert np.abs(back - sig).max() < 1e-3
+    # stereo shape
+    st = multimodal.decode_wav(multimodal.encode_wav(np.stack([sig, -sig], axis=1), 1600))
+    assert st.shape == (1600, 2)
+
+    # BMP: exact byte-level round trip incl. row padding (odd width)
+    img = (np.arange(5 * 3 * 3, dtype=np.uint8)).reshape(5, 3, 3)
+    blob = multimodal.encode_bmp(img)
+    assert np.array_equal(multimodal.decode_bmp(blob), img)
+    # nearest resize halves deterministically
+    big = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert np.array_equal(multimodal.resize_nearest(big, 5, 3), img)
+
+
+def test_multimodal_native_formats_through_spark(spark):
+    t = np.linspace(0, 1, 800, endpoint=False)
+    wav_blob = multimodal.encode_wav(0.25 * np.sin(2 * np.pi * 5 * t), 800)
+    img = np.full((4, 6, 3), 100, dtype=np.uint8)
+    bmp_blob = multimodal.encode_bmp(img)
+    schema = multimodal.T.StructType([
+        multimodal.T.StructField("id", multimodal.T.LongType()),
+        multimodal.T.StructField("blob", multimodal.T.BinaryType()),
+        multimodal.T.StructField("meta", multimodal.MEDIA_META),
+    ])
+    df = spark.createDataFrame([
+        Row(id=1, blob=wav_blob, meta=Row(media_type="audio", format="wav",
+            width=None, height=None, duration_ms=1000, sample_rate=800)),
+        Row(id=2, blob=bmp_blob, meta=Row(media_type="image", format="bmp",
+            width=6, height=4, duration_ms=None, sample_rate=None)),
+    ], schema)
+
+    # native decode needs NO set_decoder
+    multimodal.set_decoder(None)
+    out = {r["id"]: r for r in multimodal.extract_features(df, "blob", "meta").collect()}
+    assert abs(out[1]["feat_mean"]) < 1e-3          # sine mean ~ 0
+    assert abs(out[1]["feat_std"] - 0.25 / np.sqrt(2)) < 1e-2
+    assert out[2]["feat_mean"] == 100.0 and out[2]["feat_n"] == 4 * 6 * 3
+
+    # distributed decode -> resize -> re-encode round trip
+    resized = multimodal.resize_images(df.filter("id = 2"), "blob", "meta", 2, 3)
+    r = resized.collect()[0]
+    assert r["meta"]["width"] == 3 and r["meta"]["height"] == 2
+    back = multimodal.decode_bmp(bytes(r["blob"]))
+    assert back.shape == (2, 3, 3) and (back == 100).all()
+
+    # codec formats still route to the pluggable decoder / raise without one
+    jdf = df.withColumn("meta", multimodal.F.col("meta").withField("format", multimodal.F.lit("jpeg")))
+    with pytest.raises(Exception) as ei:
+        multimodal.extract_features(jdf, "blob", "meta").collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
