@@ -118,9 +118,14 @@ class OpsFrame:
         from docetl_spark.operators import topk
         return self._next(topk(self.df, k, **kw), "topk")
 
-    def rank(self, score, **kw) -> "OpsFrame":
+    def rank(self, score=None, **kw) -> "OpsFrame":
         from docetl_spark.operators import rank
         return self._next(rank(self.df, score, **kw), "rank")
+
+    # -- ingestion fan-out (dataset.py parsing analogue) -----------------------
+    def parse(self, tools, user_tools=None) -> "OpsFrame":
+        from docetl_spark.sources.parsing import apply_parsing
+        return self._next(apply_parsing(self.df, tools, user_tools), "parse")
 
 
 def ops(df: DataFrame) -> OpsFrame:

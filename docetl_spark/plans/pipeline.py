@@ -139,6 +139,20 @@ def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> 
             df, document_keys=cfg["document_keys"], pattern=cfg["pattern"],
             name=cfg.get("name", "extract"),
         )
+    if op == "rank":
+        return ops.rank(
+            df, score=F.expr(cfg["score"]), direction=cfg.get("direction", "desc"),
+            name=cfg.get("name", "rank"), k=cfg.get("k"),
+        )
+    if op == "cluster":
+        return ops.cluster(
+            df, cfg["embedding_col"],
+            max_driver_rows=cfg.get("max_driver_rows", 10_000),
+        )
+    if op == "parsing":  # mid-pipeline parsing fan-out (dataset-level form
+        # lives under datasets.<name>.parsing)
+        from docetl_spark.sources.parsing import apply_parsing
+        return apply_parsing(df, cfg["tools"])
     raise ValueError(f"unknown op type {op!r}")
 
 

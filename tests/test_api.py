@@ -49,3 +49,12 @@ def test_fluent_map_batches(spark):
     o = ops(_docs(spark)).map_batches(enrich, schema="doc_id long, flag boolean")
     got = {r["doc_id"]: r["flag"] for r in o.df.filter("doc_id < 6").collect()}
     assert got == {i: i % 2 == 0 for i in range(6)}
+
+
+def test_accessor_parse_fanout(spark):
+    from docetl_spark.api import ops
+
+    df = spark.createDataFrame([("a\nb\nc",), ("x\ny",)], "text string")
+    out = ops(df).parse([{"function": "split_lines", "input_key": "text", "output_key": "line"}])
+    assert out.df.count() == 5
+    assert out.history[-1]["op"] == "parse"

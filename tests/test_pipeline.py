@@ -105,3 +105,25 @@ def test_pipeline_observe_records_selectivity(spark, tmp_path):
     p.run(spark)
     assert p.metrics["s1"]["rows_out"] == 30
     assert p.metrics["s2"]["rows_out"] == 10
+
+
+def test_pipeline_rank_cluster_parsing_ops(spark, tmp_path):
+    import yaml as _yaml
+
+    from docetl_spark.plans.pipeline import Pipeline
+
+    src = tmp_path / "d.csv"
+    src.write_text("id,text\n" + "\n".join(f"{i},word{i} common tail" for i in range(20)) + "\n")
+    cfg = {
+        "datasets": {"d": {"path": str(src), "format": "csv"}},
+        "steps": [
+            {"name": "s1", "input": "d", "operations": [
+                {"op": "parsing", "tools": [
+                    {"function": "split_lines", "input_key": "text", "output_key": "line"}]},
+                {"op": "rank", "score": "length(line) + id / 1e9", "k": 5, "name": "r"},
+            ]},
+        ],
+    }
+    out = Pipeline(cfg).run(spark)
+    rows = out.orderBy("_r_rank").collect()
+    assert len(rows) == 5 and rows[0]["_r_rank"] == 1
