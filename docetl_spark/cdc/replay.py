@@ -55,6 +55,30 @@ def read_state(spark: SparkSession, table: LakeTable, version: int | None = None
     return df
 
 
+def read_keys(spark: SparkSession, table: LakeTable, keys: DataFrame) -> DataFrame:
+    """Point lookup: live rows for the given key tuples, reading ONLY the
+    buckets those keys hash into (partition pruning for key-equality
+    predicates — an O(|keys|/num_buckets)-of-table scan instead of
+    O(table)). ``keys`` carries exactly the table's key columns; the
+    lookup set is assumed driver-small (it is collected to compute the
+    bucket list and broadcast into the semi-join)."""
+    snap = table.snapshot()
+    key_rows = keys.select(*snap.key_cols).distinct().collect()
+    if not key_rows:
+        return read_state(spark, table).limit(0)
+    lookup = spark.createDataFrame(key_rows, keys.select(*snap.key_cols).schema)
+    buckets = sorted({
+        r["_b"] for r in lookup.select(table.bucket_expr(snap).alias("_b")).collect()
+    })
+    df = table.read_buckets(spark, [b for b in buckets if b in snap.files], snap)
+    df = df.join(F.broadcast(lookup), on=snap.key_cols, how="left_semi")
+    if snap.properties.get(DELTA_PROP) == "true":
+        df = dedup_last_writer(df, snap.key_cols)
+    if DELETED_COL in df.columns:
+        df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+    return df
+
+
 def compact_state(spark: SparkSession, table: LakeTable, min_files: int = 2):
     """Fold MOR delta files: per bucket, keep one LWW-winning row per key
     (tombstones kept — they must still block late lower-LSN arrivals) and
@@ -90,6 +114,7 @@ def replay_events(
     winner_stages: Iterable[TransformStage] = (),
     batch_ids: list[int] | None = None,
     mode: str = "cow",
+    compact_every: int | None = None,
 ) -> list[MergeMetrics]:
     """Replay ``events`` batch by batch in ascending ``batch_col`` order.
 
@@ -98,6 +123,13 @@ def replay_events(
     given, appended as JSONL (the metrics table). Pass ``batch_ids`` when
     the WAL's batch range is already known (e.g. from its manifest) to
     skip the discovery scan.
+
+    ``compact_every`` (MOR maintenance policy): fold deltas back to one
+    version per key after every N applied batches, bounding read-side
+    dedup cost and per-bucket file counts on an unbounded ingest — the
+    10^10-event stream runs MOR + periodic compaction, not one giant
+    end-of-time compaction. Compaction is itself an atomic commit, so a
+    crash between batches never loses the fence.
     """
     last_applied = int(table.snapshot().properties.get(FENCE_PROP, "-1"))
     if batch_ids is None:
@@ -112,7 +144,7 @@ def replay_events(
     else:
         batch_ids = sorted(b for b in batch_ids if b > last_applied)
     out: list[MergeMetrics] = []
-    for bid in batch_ids:
+    for i, bid in enumerate(batch_ids, start=1):
         m = merge_apply(spark, table, events.filter(F.col(batch_col) == bid), int(bid),
                         stages=stages, winner_stages=winner_stages, mode=mode)
         out.append(m)
@@ -120,4 +152,6 @@ def replay_events(
             os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
             with open(metrics_path, "a") as f:
                 f.write(json.dumps(m.to_dict()) + "\n")
+        if compact_every and i % compact_every == 0:
+            compact_state(spark, table)
     return out

@@ -319,3 +319,34 @@ def test_rebucket_with_mor_deltas_then_compact(spark, tmp_path, events):
     # versions of a key hash to one new bucket
     assert table.snapshot().properties.get("cdc.has-deltas") == "false"
     assert state_hashes(read_state(spark, table)) == want
+
+
+def test_read_keys_bucket_pruned_lookup(spark, tmp_path, events):
+    from docetl_spark.cdc import read_keys
+
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=16)
+    replay_events(spark, table, events)
+    full = read_state(spark, table)
+    some = full.select(*KEYS).orderBy(*KEYS).limit(5)
+    got = read_keys(spark, table, some)
+    assert state_hashes(got) == state_hashes(full.join(some, on=KEYS, how="left_semi"))
+    # a deleted/absent key returns nothing
+    import pyspark.sql.functions as F2
+
+    ghost = spark.createDataFrame([("no-such", "k", "v")], "repo string, path string, commit string")
+    assert read_keys(spark, table, ghost).count() == 0
+    # empty lookup
+    assert read_keys(spark, table, ghost.limit(0)).count() == 0
+
+
+def test_replay_mor_periodic_compaction(spark, tmp_path, events):
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=4)
+    replay_events(spark, table, events, mode="mor", compact_every=2)
+    # 4 batches -> compactions after batch 2 and 4: delta flag clear at end,
+    # per-bucket file count bounded at 1
+    snap = table.snapshot()
+    assert snap.properties.get("cdc.has-deltas") == "false"
+    assert all(len(fl) == 1 for fl in snap.files.values())
+    assert state_hashes(read_state(spark, table)) == state_hashes(final_state_oracle(events))
+    # resume after compaction: fence still filters applied batches
+    assert replay_events(spark, table, events, mode="mor", compact_every=2) == []
