@@ -53,6 +53,13 @@ HEADLINE = [
     "link_resolve_repair",
     "cluster_docs",
     "cdc_stream_lww",
+    # round-2 surface
+    "parsing_fanout_docs",
+    "sample_stratified",
+    "simhash_docs",
+    "lang_id_docs",
+    "knn_lsh_top5",
+    "multimodal_features",
 ]
 
 

@@ -350,3 +350,37 @@ def test_replay_mor_periodic_compaction(spark, tmp_path, events):
     assert state_hashes(read_state(spark, table)) == state_hashes(final_state_oracle(events))
     # resume after compaction: fence still filters applied batches
     assert replay_events(spark, table, events, mode="mor", compact_every=2) == []
+
+
+def test_winner_stage_with_validated_middleware(spark, tmp_path, events):
+    """The reference's whole shape: an (LLM-style) map op with validation
+    retries running per microbatch. Here: a winner_stage wrapped in
+    validated() enriches winning rows; rows failing the rule re-run with
+    the _retry_attempt feedback column and succeed."""
+    import pandas as pd
+
+    from docetl_spark.cdc.middleware import as_stage, validated
+
+    def enrich(pdf: pd.DataFrame) -> pd.DataFrame:
+        att = pdf["_retry_attempt"] if "_retry_attempt" in pdf.columns else pd.Series(0, index=pdf.index)
+        out = pdf.copy()
+        out = out.drop(columns=["_retry_attempt"], errors="ignore")
+        # "flaky" enrichment: first attempt yields an invalid sentinel for
+        # rows whose lsn % 3 == 0; the retry fixes them
+        out["n_chars"] = pdf["content"].fillna("").str.len().astype("int64")
+        bad = (pdf["lsn"] % 3 == 0) & (att.to_numpy() == 0)
+        out.loc[bad.to_numpy(), "n_chars"] = -1
+        return out
+
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in events.schema.fields
+    ) + ", n_chars long"
+    stage = as_stage(validated(enrich, rule=lambda o: o["n_chars"] >= 0, num_retries=1), schema)
+    replay_events(spark, table, events, winner_stages=[stage])
+
+    got = read_state(spark, table)
+    assert state_hashes(got) == state_hashes(final_state_oracle(events))
+    # every surviving row enriched and valid (no -1 sentinels escaped)
+    assert got.filter("n_chars < 0").count() == 0
+    assert got.filter("n_chars != length(coalesce(content, ''))").count() == 0
