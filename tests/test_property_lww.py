@@ -76,3 +76,58 @@ def test_any_stream_any_batching_matches_oracle(spark, events, n_batches, redeli
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    events=st.lists(event_st, min_size=1, max_size=40),
+    n_batches=st.integers(min_value=2, max_value=4),
+    maint_after=st.integers(min_value=0, max_value=3),
+    maintenance=st.sampled_from(["rebucket_up", "rebucket_down", "compact", "vacuum"]),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_maintenance_interleaved_anywhere_preserves_semantics(
+    spark, events, n_batches, maint_after, maintenance, mode
+):
+    """Rebucket / compaction / vacuum injected between ANY two batches of
+    ANY stream must leave the final state equal to the sequential LWW
+    oracle, keep the fence intact, and keep later merges correct."""
+    from docetl_spark.cdc import compact_state
+
+    rows = [
+        (lsn, min(lsn * n_batches // len(events), n_batches - 1),
+         op, f"r{k}", f"p{k}", f"c{k}", payload)
+        for lsn, (k, op, payload) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, batch_id long, op string, repo string, path string, commit string, payload long"
+    )
+    batches = sorted(set(r[1] for r in rows))
+
+    root = tempfile.mkdtemp(prefix="prop_maint_")
+    try:
+        table = create_cdc_table(root + "/t", KEYS, num_buckets=4)
+        maint_point = batches[maint_after % len(batches)]
+        for b in batches:
+            merge_apply(spark, table, df.filter(df.batch_id == b), b, mode=mode)
+            if b == maint_point:
+                if maintenance == "rebucket_up":
+                    table.rebucket(spark, 8)
+                elif maintenance == "rebucket_down":
+                    table.rebucket(spark, 2)
+                elif maintenance == "compact":
+                    compact_state(spark, table)
+                else:
+                    table.vacuum(keep_versions=1)
+                # fence survives maintenance: redeliver -> no-op
+                m = merge_apply(spark, table, df.filter(df.batch_id == b), b, mode=mode)
+                assert m.skipped
+
+        got = {
+            (r["repo"], r["path"], r["commit"]): (r["lsn"], r["payload"])
+            for r in read_state(spark, table).collect()
+        }
+        want = {(f"r{k}", f"p{k}", f"c{k}"): v for k, v in py_oracle(events).items()}
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
