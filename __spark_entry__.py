@@ -410,6 +410,48 @@ FROM documents WHERE doc_id < 100
 # sampling / topk
 # ---------------------------------------------------------------------------
 
+def q_extract_lines_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract(line_number) — reference extract.py:119: slice 1-based
+    inclusive line ranges out of a line-numbered document. Documents are
+    single-line, so each is first reshaped into 8-word lines (same chunk
+    arithmetic as the split oracle); ranges [(1,2), (4,5)] slice them."""
+    from docetl_spark.operators.extract_ops import extract_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    idx = F.sequence(F.lit(0), F.floor((F.size(toks) - 1) / 8).cast("int"))
+    lines_arr = F.transform(idx, lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "))
+    df = docs.select(
+        "doc_id", F.array_join(lines_arr, "\n").alias("body")
+    ).withColumn(
+        "rng",
+        F.array(
+            F.struct(F.lit(1).alias("start"), F.lit(2).alias("end")),
+            F.struct(F.lit(4).alias("start"), F.lit(5).alias("end")),
+        ),
+    )
+    out = extract_lines(df, "body", "rng", name="ln")
+    return out.select("doc_id", F.col("body_extracted_ln").alias("extracted"))
+
+
+ORACLE_EXTRACT_LINES = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 30
+),
+lines AS (
+  SELECT doc_id, list_transform(
+           range(1, CAST(ceil(len(toks) / 8.0) AS BIGINT) + 1),
+           g -> array_to_string(toks[(g - 1) * 8 + 1 : g * 8], ' ')) AS ls
+  FROM t
+)
+SELECT doc_id,
+       array_to_string([coalesce(array_to_string(ls[1 : 2], chr(10)), ''),
+                        coalesce(array_to_string(ls[4 : 5], chr(10)), '')], chr(10) || chr(10)) AS extracted
+FROM lines
+"""
+
+
 def q_parsing_fanout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parsing-tool 1->N fan-out (reference dataset.py:241-315): every doc
     row fans into one row per overlapping 20-word window (stride 10),
@@ -1022,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_rendered": q_gather_rendered,
         "unnest_doc_tokens": q_unnest_doc_tokens,
         "extract_regex_docs": q_extract_regex_docs,
+        "extract_lines_docs": q_extract_lines_docs,
         "parsing_fanout_docs": q_parsing_fanout_docs,
         "sample_custom_keys": q_sample_custom_keys,
         "sample_stratified": q_sample_stratified,
@@ -1062,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "gather_rendered": ORACLE_GATHER,
         "unnest_doc_tokens": ORACLE_UNNEST,
         "extract_regex_docs": ORACLE_EXTRACT,
+        "extract_lines_docs": ORACLE_EXTRACT_LINES,
         "parsing_fanout_docs": ORACLE_PARSING,
         "sample_custom_keys": ORACLE_SAMPLE_CUSTOM,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
