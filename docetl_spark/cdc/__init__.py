@@ -1,5 +1,5 @@
 from docetl_spark.cdc.merge import MergeMetrics, dedup_last_writer, merge_apply
-from docetl_spark.cdc.replay import compact_state, create_cdc_table, read_keys, read_state, replay_events
+from docetl_spark.cdc.replay import compact_state, create_cdc_table, read_keys, read_metrics, read_state, replay_events
 
 __all__ = [
     "MergeMetrics",
@@ -7,6 +7,7 @@ __all__ = [
     "merge_apply",
     "compact_state",
     "read_keys",
+    "read_metrics",
     "create_cdc_table",
     "read_state",
     "replay_events",

@@ -55,6 +55,14 @@ def read_state(spark: SparkSession, table: LakeTable, version: int | None = None
     return df
 
 
+def read_metrics(spark: SparkSession, metrics_path: str) -> DataFrame:
+    """The lineage-metrics JSONL (one MergeMetrics per applied batch) as a
+    queryable DataFrame — per-batch offsets (min/max lsn), row counts,
+    merge stats and per-bucket histograms (north rule: lineage emitted as
+    metrics)."""
+    return spark.read.json(metrics_path)
+
+
 def read_keys(spark: SparkSession, table: LakeTable, keys: DataFrame) -> DataFrame:
     """Point lookup: live rows for the given key tuples, reading ONLY the
     buckets those keys hash into (partition pruning for key-equality

@@ -262,6 +262,25 @@ class LakeTable:
         finally:
             os.unlink(tmp)
 
+    def history(self) -> list[dict]:
+        """All snapshots, oldest first — the Iceberg ``snapshots`` metadata
+        table analogue: version, timestamp, operation summary, properties,
+        file/bucket counts. Drives audit ("which commit applied batch 17")
+        and time-travel version discovery."""
+        out = []
+        for v in self._versions():
+            s = self.snapshot(v)
+            out.append({
+                "version": s.version,
+                "timestamp_ms": s.timestamp_ms,
+                "operation": s.summary.get("operation"),
+                "summary": s.summary,
+                "properties": s.properties,
+                "num_buckets": s.num_buckets,
+                "n_files": len(s.all_files),
+            })
+        return out
+
     # -- maintenance ---------------------------------------------------------
 
     def compact(self, spark: SparkSession, min_files: int = 2, transform=None,

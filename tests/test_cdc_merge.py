@@ -384,3 +384,42 @@ def test_winner_stage_with_validated_middleware(spark, tmp_path, events):
     # every surviving row enriched and valid (no -1 sentinels escaped)
     assert got.filter("n_chars < 0").count() == 0
     assert got.filter("n_chars != length(coalesce(content, ''))").count() == 0
+
+
+def test_history_metrics_and_vacuum_orphans(spark, tmp_path, events):
+    from docetl_spark.cdc import read_metrics
+    from docetl_spark.lake.table import CommitConflict
+
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=4)
+    mpath = str(tmp_path / "m.jsonl")
+    replay_events(spark, table, events, metrics_path=mpath)
+
+    # snapshot history: create + 4 merges, batch ids auditable
+    hist = table.history()
+    assert [h["operation"] for h in hist] == [None, "merge", "merge", "merge", "merge"] or \
+           [h["operation"] for h in hist][0] == "create"
+    assert hist[-1]["properties"]["cdc.last-batch-id"] == "3"
+
+    # lineage metrics queryable as a DataFrame
+    m = read_metrics(spark, mpath)
+    assert m.count() == 4
+    assert m.agg({"events_in": "sum"}).collect()[0][0] == 4000
+    assert m.filter("min_lsn > max_lsn").count() == 0
+
+    # a conflicting (stale expected_version) commit leaves orphan files;
+    # vacuum removes them and keeps the live state intact
+    snap = table.snapshot()
+    batch = events.filter("batch_id = 0")
+    tag = "orphan-test"
+    orphans = table.write_bucket_files(
+        spark.read.schema(snap.schema).parquet(
+            *[str(tmp_path / "t" / f) for f in snap.all_files[:1]]
+        ), snap, tag)
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflict):
+        table.commit(orphans, set(), expected_version=snap.version - 1)
+    before = state_hashes(read_state(spark, table))
+    removed = table.vacuum(keep_versions=1)
+    assert removed >= 1  # the orphaned files are gone
+    assert state_hashes(read_state(spark, table)) == before
