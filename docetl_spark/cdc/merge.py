@@ -130,8 +130,44 @@ def merge_apply(
     strict_lww_ties: bool = False,
     winner_stages: Iterable[TransformStage] = (),
     mode: str = "cow",
+    conflict_retries: int = 0,
 ) -> MergeMetrics:
     """Apply one microbatch of change events to ``table``.
+
+    ``conflict_retries``: when a CONCURRENT writer (another stream, a
+    maintenance compact/rebucket) wins the version race, re-run the whole
+    merge against the fresh snapshot up to N times. Safe by construction:
+    the fence check runs first on every attempt (a duplicate-delivery race
+    already returns a skip), and a losing attempt's files were never
+    referenced (vacuum reclaims them).
+    """
+    attempt = 0
+    while True:
+        try:
+            return _merge_apply_once(
+                spark, table, batch, batch_id, stages=stages, fence_prop=fence_prop,
+                broadcast_key_limit=broadcast_key_limit, strict_lww_ties=strict_lww_ties,
+                winner_stages=winner_stages, mode=mode,
+            )
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+            attempt += 1
+
+
+def _merge_apply_once(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    stages: Iterable[TransformStage] = (),
+    fence_prop: str = FENCE_PROP,
+    broadcast_key_limit: int = 500_000,
+    strict_lww_ties: bool = False,
+    winner_stages: Iterable[TransformStage] = (),
+    mode: str = "cow",
+) -> MergeMetrics:
+    """One merge attempt (see ``merge_apply``).
 
     ``mode``:
 

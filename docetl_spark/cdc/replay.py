@@ -87,29 +87,43 @@ def read_keys(spark: SparkSession, table: LakeTable, keys: DataFrame) -> DataFra
     return df
 
 
-def compact_state(spark: SparkSession, table: LakeTable, min_files: int = 2):
+def compact_state(spark: SparkSession, table: LakeTable, min_files: int = 2,
+                  conflict_retries: int = 3):
     """Fold MOR delta files: per bucket, keep one LWW-winning row per key
     (tombstones kept — they must still block late lower-LSN arrivals) and
     clear the read-dedup flag. The write-amplification that CoW pays per
     batch, paid once here across many batches.
+
+    A maintenance job racing the ingest loses the version race benignly:
+    on CommitConflict the whole compact re-runs against the fresh snapshot
+    (up to ``conflict_retries`` times) so newly-appended deltas are folded
+    too — never silently dropped.
 
     When deltas exist, EVERY bucket compacts (min_files=1): after a
     CoW-mode batch on a delta-carrying table, even a single bucket file
     can hold multiple versions of a key (survivors pass duplicates
     through), so clearing the read-dedup flag is only safe after a full
     dedup pass."""
-    snap = table.snapshot()
-    has_deltas = snap.properties.get(DELTA_PROP) == "true"
-    transform = (lambda df: dedup_last_writer(df, snap.key_cols)) if has_deltas else None
-    new_snap = table.compact(spark, min_files=1 if has_deltas else min_files, transform=transform,
-                             properties={DELTA_PROP: "false"} if has_deltas else None)
-    if new_snap is None and has_deltas:
-        # nothing to rewrite (every bucket already single-file => unique
-        # keys), but the flag still needs an atomic metadata-only clear
-        new_snap = table.commit({}, set(), properties={DELTA_PROP: "false"},
-                                summary={"operation": "compact", "noop": True},
-                                expected_version=snap.version)
-    return new_snap
+    from docetl_spark.lake.table import CommitConflict
+
+    for attempt in range(conflict_retries + 1):
+        snap = table.snapshot()
+        has_deltas = snap.properties.get(DELTA_PROP) == "true"
+        transform = (lambda df: dedup_last_writer(df, snap.key_cols)) if has_deltas else None
+        try:
+            new_snap = table.compact(spark, min_files=1 if has_deltas else min_files, transform=transform,
+                                     properties={DELTA_PROP: "false"} if has_deltas else None)
+            if new_snap is None and has_deltas:
+                # nothing to rewrite (every bucket already single-file =>
+                # unique keys), but the flag still needs an atomic
+                # metadata-only clear
+                new_snap = table.commit({}, set(), properties={DELTA_PROP: "false"},
+                                        summary={"operation": "compact", "noop": True},
+                                        expected_version=snap.version)
+            return new_snap
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
 
 
 def replay_events(

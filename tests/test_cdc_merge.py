@@ -423,3 +423,46 @@ def test_history_metrics_and_vacuum_orphans(spark, tmp_path, events):
     removed = table.vacuum(keep_versions=1)
     assert removed >= 1  # the orphaned files are gone
     assert state_hashes(read_state(spark, table)) == before
+
+
+def test_commit_conflict_retries_against_fresh_state(spark, tmp_path, events):
+    """A concurrent writer (e.g. maintenance) bumping the version between
+    our snapshot read and commit must trigger a clean retry against fresh
+    state, not a crash — for both merge_apply and compact_state."""
+    from docetl_spark.cdc import compact_state
+    from docetl_spark.lake.table import CommitConflict, LakeTable
+
+    path = str(tmp_path / "t")
+    table = create_cdc_table(path, KEYS, num_buckets=4)
+    b0 = events.filter("batch_id = 0")
+    b1 = events.filter("batch_id = 1")
+    merge_apply(spark, table, b0, 0, mode="mor")
+
+    other = LakeTable(path)  # the racing writer's handle
+    real_commit = table.commit
+    state = {"raced": 0}
+
+    def racing_commit(*a, **kw):
+        if state["raced"] == 0:
+            state["raced"] = 1
+            other.commit({}, set(), properties={"race": "1"}, summary={"operation": "race"})
+        return real_commit(*a, **kw)
+
+    table.commit = racing_commit
+    # without retries: surfaces the conflict
+    with pytest.raises(CommitConflict):
+        merge_apply(spark, table, b1, 1, mode="mor")
+    # with retries: second attempt sees the fresh version and lands
+    m = merge_apply(spark, table, b1, 1, mode="mor", conflict_retries=2)
+    assert not m.skipped and state["raced"] == 1
+
+    # compact_state retries too (fresh deltas appended by the race are
+    # folded, not dropped)
+    state["raced"] = 0
+    snap = compact_state(spark, table)
+    assert snap is not None
+    assert table.snapshot().properties.get("cdc.has-deltas") == "false"
+    table.commit = real_commit
+    # end state unchanged by all the racing
+    want = final_state_oracle(events.filter("batch_id <= 1"))
+    assert state_hashes(read_state(spark, table)) == state_hashes(want)
