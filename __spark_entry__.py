@@ -604,8 +604,9 @@ def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # brute-force exact trigram jaccard >= 0.8 (mirrors functions/dedup.py
-# shingles(): lowercased whitespace tokens, distinct 3-gram joins, at
-# least one shingle even for short docs)
+# shingles(): lowercased whitespace tokens capped at max_shingles+n = 515
+# (dedup.py:50 F.slice), distinct 3-gram joins, at least one shingle even
+# for short docs)
 ORACLE_MINHASH_LSH = """
 WITH t AS (
   SELECT doc_id,
@@ -613,7 +614,7 @@ WITH t AS (
            range(1, greatest(len(toks) - 2, 1) + 1),
            i -> array_to_string(toks[i : i + 2], ' '))) AS sh
   FROM (
-    SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)) AS toks
+    SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x))[1 : 515] AS toks
     FROM documents
   )
 )

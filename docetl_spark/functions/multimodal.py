@@ -52,6 +52,8 @@ def decode_wav(blob: bytes) -> np.ndarray:
     with wave.open(io.BytesIO(blob), "rb") as w:
         ch, width, n = w.getnchannels(), w.getsampwidth(), w.getnframes()
         raw = w.readframes(n)
+    if width not in (1, 2, 4):
+        raise NotImplementedError(f"only 8/16/32-bit PCM WAV decodes natively (got {8 * width}-bit)")
     dtype, scale = {1: ("u1", 127.5), 2: ("<i2", 32768.0), 4: ("<i4", 2147483648.0)}[width]
     arr = np.frombuffer(raw, dtype=dtype).astype("float64")
     if width == 1:
@@ -113,16 +115,18 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
-def decode_media(blob: bytes, fmt: str) -> np.ndarray:
-    """Dispatch: stdlib decoders for wav/bmp; the pluggable ``set_decoder``
-    for codec formats; NotImplementedError only when neither applies."""
+def decode_media(blob: bytes, fmt: str, decoder: Callable | None = None) -> np.ndarray:
+    """Dispatch: stdlib decoders for wav/bmp; ``decoder`` (defaulting to
+    the ``set_decoder`` global) for codec formats; NotImplementedError
+    only when neither applies."""
     f = (fmt or "").lower()
     if f == "wav":
         return decode_wav(blob)
     if f == "bmp":
         return decode_bmp(blob)
-    if _DECODER is not None:
-        return _DECODER(blob, fmt)
+    decoder = decoder if decoder is not None else _DECODER
+    if decoder is not None:
+        return decoder(blob, fmt)
     raise NotImplementedError(
         f"format {fmt!r} needs a codec this environment does not ship; "
         f"install one with set_decoder (wav/bmp decode natively)"
@@ -149,24 +153,13 @@ def extract_features(df: DataFrame, binary_col: str, meta_col: str, out_prefix: 
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def dec(blob: bytes, fmt: str) -> np.ndarray:
-            f = (fmt or "").lower()
-            if f == "wav":
-                return decode_wav(blob)
-            if f == "bmp":
-                return decode_bmp(blob)
-            if decoder is not None:
-                return decoder(blob, fmt)
-            raise NotImplementedError(
-                f"format {fmt!r} needs a codec this environment does not "
-                f"ship; install one with set_decoder (wav/bmp decode natively)"
-            )
-
         for pdf in batches:
             feats = {n: [] for n, _ in fields}
             for blob, meta in zip(pdf[binary_col], pdf[meta_col]):
                 fmt = (meta or {}).get("format") if isinstance(meta, dict) else getattr(meta, "format", None)
-                arr = dec(bytes(blob), fmt or "").astype("float64").ravel()
+                # decoder captured by value above; the global would not
+                # exist in the executor worker process
+                arr = decode_media(bytes(blob), fmt or "", decoder=decoder).astype("float64").ravel()
                 feats[f"{out_prefix}_mean"].append(float(arr.mean()) if arr.size else None)
                 feats[f"{out_prefix}_std"].append(float(arr.std()) if arr.size else None)
                 feats[f"{out_prefix}_p05"].append(float(np.percentile(arr, 5)) if arr.size else None)

@@ -56,18 +56,29 @@ def _cap_comparisons(
     low per-stratum ranks — the same round-robin fairness, deterministic
     via hash tiebreaks instead of dict order. Every job here is bounded:
     the post-cap set is <= ~2x the budget."""
-    n = joined.count()
-    if n <= limit_comparisons:
-        return joined
+    # one diagnostic job covers everything the cap decision needs: pair
+    # count, side-length averages, and both candidate stratum counts —
+    # the (expensive) blocked join is executed once here and once for the
+    # capped output, never four times
+    probes = [
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(lkey)).alias("nl"),
+        F.count_distinct(F.col(rkey)).alias("nr"),
+    ]
     if length_cols:
         ll, rl = F.length(F.col(length_cols[0])), F.length(F.col(length_cols[1]))
-        avg = joined.agg(F.avg(ll).alias("l"), F.avg(rl).alias("r")).collect()[0]
-        use_left = (avg["l"] or 0.0) > (avg["r"] or 0.0)
+        probes += [F.avg(ll).alias("avg_l"), F.avg(rl).alias("avg_r")]
+    stats = joined.agg(*probes).collect()[0]
+    if stats["n"] <= limit_comparisons:
+        return joined
+    if length_cols:
+        use_left = (stats["avg_l"] or 0.0) > (stats["avg_r"] or 0.0)
         stratum, prio = (lkey, rl) if use_left else (rkey, ll)
+        n_strata = int(stats["nl"] if use_left else stats["nr"])
     else:
         stratum, prio = lkey, F.lit(0)
+        n_strata = int(stats["nl"])
     tie = F.xxhash64(F.col(lkey), F.col(rkey))
-    n_strata = joined.select(stratum).distinct().count()
     base = max(1, limit_comparisons // max(n_strata, 1))
     w = Window.partitionBy(stratum).orderBy(prio.desc(), tie)
     capped = joined.withColumn("_cmp_rn", F.row_number().over(w)).filter(F.col("_cmp_rn") <= base + 1)

@@ -91,9 +91,13 @@ def _distributed_global_rank(scored: DataFrame, order: list, rank_col: str) -> D
     """Global row_number without a single-task window: range-repartition on
     the (total, tie-free) order, sort within partitions, then local rank +
     cumulative offset of earlier partitions. The driver sees one count per
-    partition; the counts job and the final job share the range-shuffle
-    output (shuffle reuse), so the data moves once. Ranks are long —
-    int32 overflows at 10^10 rows."""
+    partition. The partitioned data is localCheckpoint-pinned BEFORE the
+    counts job: range boundaries come from sampling seeded by the RDD id,
+    so two independent executions could draw different boundaries and the
+    offsets would describe the wrong partitioning — the checkpoint makes
+    both jobs read the SAME materialized partitions (and the wide rows
+    move through the range shuffle exactly once). Ranks are long — int32
+    overflows at 10^10 rows."""
     import pyspark.sql.types as T
 
     npart = max(scored.sparkSession.sparkContext.defaultParallelism, 1)
@@ -101,6 +105,7 @@ def _distributed_global_rank(scored: DataFrame, order: list, rank_col: str) -> D
         scored.repartitionByRange(npart, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     offsets, acc = {}, 0

@@ -234,6 +234,11 @@ def value_sample(
             chosen = [0]  # deterministic start: first row in hash order
             d = np.linalg.norm(X - X[0], axis=1)
             for _ in range(sample_size - 1):
+                if d.max() == 0:
+                    # fewer distinct points than sample_size: stop rather
+                    # than re-emit an already-chosen row (a sampler must
+                    # never output a row more often than the input has it)
+                    break
                 nxt = int(d.argmax())
                 chosen.append(nxt)
                 d = np.minimum(d, np.linalg.norm(X - X[nxt], axis=1))

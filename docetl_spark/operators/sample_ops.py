@@ -65,6 +65,8 @@ def sample(
             # by < |strata| rows (ceiling), matching per-group fairness.
             counts = df.groupBy(stratify_key).agg(F.count(F.lit(1)).alias("_n"))
             total = counts.agg(F.sum("_n")).collect()[0][0]
+            if not total:
+                return df.limit(0)  # empty input: empty sample, same schema
             quota = F.ceil(F.lit(int(samples)) * F.col("_n") / F.lit(int(total)))
             w = Window.partitionBy(stratify_key).orderBy(_hash_order(df, seed))
             return (

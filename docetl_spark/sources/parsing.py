@@ -164,10 +164,15 @@ def apply_parsing(
         fields = list(df.schema.fields)
         have = {f.name for f in fields}
         for k in new_cols:
-            dt = T._parse_datatype_string(out_types[k]) if k in out_types else T.StringType()
             if k in have:
-                fields = [T.StructField(k, dt, True) if f.name == k else f for f in fields]
+                # existing column keeps its type unless output_schema
+                # explicitly overrides it (a string default would clobber
+                # e.g. a long column the parser overwrites with ints)
+                if k in out_types:
+                    dt = T._parse_datatype_string(out_types[k])
+                    fields = [T.StructField(k, dt, True) if f.name == k else f for f in fields]
             else:
+                dt = T._parse_datatype_string(out_types[k]) if k in out_types else T.StringType()
                 fields.append(T.StructField(k, dt, True))
         schema = T.StructType(fields)
         out_names = [f.name for f in schema.fields]

@@ -469,3 +469,16 @@ def test_rank_score_fn_batch_scorer(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="exactly one"):
         rank(df)
+
+
+def test_value_sample_cluster_degenerate_group_no_duplicates(spark):
+    # all points identical and group larger than sample_size: the sampler
+    # must not fabricate duplicate rows (review finding r2)
+    from docetl_spark.operators.reduce_ops import value_sample
+
+    rows = [("g", i, [1.0, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id long, emb array<double>")
+    out = value_sample(df, "g", method="cluster", sample_size=3, embedding_col="emb").collect()
+    ids = [r["id"] for r in out]
+    assert len(ids) == len(set(ids))  # no duplicates
+    assert 1 <= len(ids) <= 3
