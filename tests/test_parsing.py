@@ -84,3 +84,22 @@ def test_pipeline_dataset_parsing_config(spark, tmp_path, txt_files):
     out = Pipeline(cfg).run(spark)
     rows = out.collect()
     assert len(rows) == 8 and all(r["n_chars"] > 0 for r in rows)
+
+
+def test_parser_overwriting_typed_column_keeps_type(spark):
+    # a parser whose output_key collides with an existing non-string
+    # column must not silently retype it to string (review finding r2)
+    df = spark.createDataFrame([(1, 5), (2, 7)], "id long, n long")
+
+    def bump(item, input_key="n", output_key="n"):
+        return [{output_key: item[input_key] + 1}]
+
+    out = apply_parsing(df, [{"function": "bump", "output_key": "n"}], user_tools={"bump": bump})
+    assert dict(out.dtypes)["n"] == "bigint"
+    assert sorted(r["n"] for r in out.collect()) == [6, 8]
+    # explicit override still works
+    out2 = apply_parsing(
+        df, [{"function": "bump", "output_key": "n", "output_schema": {"n": "double"}}],
+        user_tools={"bump": lambda item, input_key="n", output_key="n": [{output_key: float(item[input_key])}]},
+    )
+    assert dict(out2.dtypes)["n"] == "double"
