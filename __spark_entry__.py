@@ -273,6 +273,31 @@ FROM events GROUP BY event_type
 # joins & entity resolution
 # ---------------------------------------------------------------------------
 
+def q_value_sample_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce value_sampling method=first_n (reference reduce.py:299-322):
+    per group, the reduce sees only the first 20 events by lsn; the
+    downstream aggregate is computed over exactly that sample."""
+    from docetl_spark.operators.reduce_ops import value_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_type", F.col("event_id").alias("lsn"), "value")
+    sampled = value_sample(ev, "event_type", method="first_n", sample_size=20, order_col="lsn")
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("value"), 3).alias("sum_sampled"),
+        F.max("lsn").alias("max_lsn_sampled"),
+    )
+
+
+ORACLE_VALUE_SAMPLE = """
+SELECT event_type, count(*) AS n_sampled, round(sum(value), 3) AS sum_sampled,
+       max(event_id) AS max_lsn_sampled
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn <= 20 GROUP BY event_type
+"""
+
+
 def q_equijoin_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.operators import equijoin
 
@@ -1059,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_reduce_groups": q_code_reduce_groups,
         "fold_events_per_user": q_fold_events_per_user,
         "reduce_merge_salted": q_reduce_merge_salted,
+        "value_sample_first_n": q_value_sample_first_n,
         "equijoin_verify": q_equijoin_verify,
         "resolve_majority_canon": q_resolve_majority_canon,
         "split_chunks": q_split_chunks,
@@ -1100,6 +1126,7 @@ def oracle_sql() -> dict[str, str]:
         "code_reduce_groups": ORACLE_CODE_REDUCE,
         "fold_events_per_user": ORACLE_FOLD,
         "reduce_merge_salted": ORACLE_MERGE_SALTED,
+        "value_sample_first_n": ORACLE_VALUE_SAMPLE,
         "equijoin_verify": ORACLE_EQUIJOIN,
         "resolve_majority_canon": ORACLE_RESOLVE,
         "split_chunks": ORACLE_SPLIT,

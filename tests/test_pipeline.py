@@ -127,3 +127,21 @@ def test_pipeline_rank_cluster_parsing_ops(spark, tmp_path):
     out = Pipeline(cfg).run(spark)
     rows = out.orderBy("_r_rank").collect()
     assert len(rows) == 5 and rows[0]["_r_rank"] == 1
+
+
+def test_pipeline_cluster_op(spark):
+    from docetl_spark.plans.pipeline import Pipeline
+
+    cfg = {
+        "datasets": {},
+        "steps": [],
+    }
+    # drive cluster through _apply_op directly (no file dataset needed)
+    from docetl_spark.plans.pipeline import _apply_op
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3) * 10, 0.0]) for i in range(12)], "id long, emb array<double>"
+    )
+    out = _apply_op(df, {"op": "cluster", "embedding_col": "emb"}, {}, spark)
+    rows = out.collect()
+    assert len(rows) == 12 and all(len(r["clusters"]) >= 1 for r in rows)
