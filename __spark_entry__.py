@@ -651,6 +651,50 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_by_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL end-to-end: trigram-jaccard>=0.8 pairs (LSH
+    blocked) -> distributed connected components (iterative min-label
+    propagation, resolve_ops.connected_components) -> keep each
+    component's min doc_id. The oracle recomputes the same components
+    with a recursive CTE, so the distributed CC loop itself is
+    value-checked, not just row-counted."""
+    from docetl_spark.functions.dedup import dedup_by_pairs, minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16,
+                              shingle_n=3, threshold=0.4)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.8,
+                                candidates=cands)
+    kept = dedup_by_pairs(docs.select("doc_id"), "doc_id", pairs)
+    return kept.select("doc_id")
+
+
+ORACLE_DEDUP_PAIRS = """
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i : i + 2], ' '))) AS sh
+  FROM (
+    SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x))[1 : 515] AS toks
+    FROM documents
+  )
+),
+p AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM t a, t b
+  WHERE a.doc_id <> b.doc_id
+    AND round(len(list_intersect(a.sh, b.sh)) * 1.0 / greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= 0.8
+),
+reach(node, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+  UNION
+    SELECT p.y, r.comp FROM reach r JOIN p ON p.x = r.node
+)
+SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(comp)
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures, bit-for-bit oracled: the per-token hash is
     md5[:8] little-endian, which DuckDB reproduces in SQL (unnest tokens ->
@@ -1099,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "near_dup_unigram_jaccard": q_near_dup_unigram_jaccard,
         "near_dup_minhash_lsh": q_near_dup_minhash_lsh,
+        "dedup_by_pairs_docs": q_dedup_by_pairs_docs,
         "simhash_docs": q_simhash_docs,
         "near_dup_embedding_exact": q_near_dup_embedding_exact,
         "knn_cosine_top5": q_knn_cosine_top5,
@@ -1141,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": ORACLE_DEDUP_EXACT,
         "near_dup_unigram_jaccard": ORACLE_JACCARD,
         "near_dup_minhash_lsh": ORACLE_MINHASH_LSH,
+        "dedup_by_pairs_docs": ORACLE_DEDUP_PAIRS,
         "simhash_docs": ORACLE_SIMHASH,
         "near_dup_embedding_exact": ORACLE_EMB_EXACT,
         "knn_cosine_top5": ORACLE_KNN,
