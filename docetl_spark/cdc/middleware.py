@@ -139,7 +139,16 @@ def validated(
             if len(retry_out) != len(retry_in):
                 raise ValueError("validated() retry fn broke row alignment")
             retry_out = retry_out.drop(columns=["_retry_attempt"], errors="ignore")
-            out.loc[failing.to_numpy(), list(retry_out.columns)] = retry_out.to_numpy()
+            if set(retry_out.columns) != set(out.columns):
+                raise ValueError(
+                    "validated() retry fn changed the output columns: "
+                    f"expected {sorted(out.columns)}, got {sorted(retry_out.columns)}"
+                )
+            # assign column-by-column (never through a mixed-dtype ndarray,
+            # which would silently upcast every output column to object)
+            fail_idx = out.index[failing.to_numpy()]
+            for c in out.columns:
+                out.loc[fail_idx, c] = retry_out[c].to_numpy()
             failing_sub = ~rule(out[failing.to_numpy()]).astype(bool).to_numpy()
             idx = failing[failing].index
             failing.loc[idx] = failing_sub

@@ -323,10 +323,15 @@ def link_resolve(
     ).select("_link_value", F.col("_w._v").alias("_replacement"))
 
     rid = "_lr_rid"
-    with_id = df.withColumn(rid, F.monotonically_increasing_id())
+    # content-derived row id (repo convention: replay-stable, never
+    # monotonically_increasing_id). Exact-duplicate rows share a rid; the
+    # distinct() below collapses their identical (rid, pos, link) triples so
+    # the rebuilt arrays don't double up, and the join-back fans the single
+    # repaired array out to each duplicate row — same output either way.
+    with_id = df.withColumn(rid, F.xxhash64(*[F.col(c) for c in df.columns]))
     # inner posexplode: rows with empty/null link arrays are absent from
     # ``repaired`` and keep their original value via the final coalesce
-    exploded = with_id.select(rid, F.posexplode(link_key).alias("_pos", "_link_value"))
+    exploded = with_id.select(rid, F.posexplode(link_key).alias("_pos", "_link_value")).distinct()
     repaired = (
         exploded.join(F.broadcast(best), "_link_value", "left")
         .withColumn("_fixed", F.coalesce(F.col("_replacement"), F.col("_link_value")))

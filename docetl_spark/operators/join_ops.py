@@ -57,9 +57,15 @@ def _cap_comparisons(
     via hash tiebreaks instead of dict order. Every job here is bounded:
     the post-cap set is <= ~2x the budget."""
     # one diagnostic job covers everything the cap decision needs: pair
-    # count, side-length averages, and both candidate stratum counts —
-    # the (expensive) blocked join is executed once here and once for the
-    # capped output, never four times
+    # count, side-length averages, and both candidate stratum counts.
+    # The (expensive) blocked join is persisted so it executes exactly
+    # once: the stats collect below materializes it, and the capped output
+    # reads the cached partitions instead of re-running the join (which at
+    # scale is an embedding similarity join — the dominant cost here).
+    # MEMORY_AND_DISK: blocked pair sets can exceed executor memory.
+    from pyspark import StorageLevel
+
+    joined = joined.persist(StorageLevel.MEMORY_AND_DISK)
     probes = [
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(F.col(lkey)).alias("nl"),

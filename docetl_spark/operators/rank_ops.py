@@ -201,10 +201,12 @@ def rank(
             pdf = pdf.sort_values(f"_{name}_score", ascending=(direction != "desc"), kind="mergesort")
             pdf[f"_{name}_rank"] = range(1, len(pdf) + 1)
             return df.sparkSession.createDataFrame(pdf)
-        # window runs over ≤ k rows (post-limit); the constant partition key
-        # makes that explicit and silences the single-partition warning
+        # window runs over ≤ k rows (post-limit), so the unpartitioned
+        # WindowExec warning is moot — the single partition holds at most
+        # k rows by construction. (A constant partition key would NOT
+        # suppress it: Catalyst constant-folds the literal out of the spec.)
         return top.withColumn(
-            f"_{name}_rank", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(*order))
+            f"_{name}_rank", F.row_number().over(Window.orderBy(*order))
         )
 
     return _distributed_global_rank(scored, order, f"_{name}_rank")

@@ -69,11 +69,15 @@ def sample(
                 return df.limit(0)  # empty input: empty sample, same schema
             quota = F.ceil(F.lit(int(samples)) * F.col("_n") / F.lit(int(total)))
             w = Window.partitionBy(stratify_key).orderBy(_hash_order(df, seed))
+            # null-safe quota join: NULL is a stratum too (it was counted in
+            # `total`, so a plain equi-join would both drop its rows and
+            # deflate every other stratum's share)
+            quotas = counts.withColumn("_quota", quota).withColumnRenamed(stratify_key, "_sk").drop("_n")
             return (
-                df.join(F.broadcast(counts.withColumn("_quota", quota).drop("_n")), on=stratify_key)
+                df.join(F.broadcast(quotas), on=F.col(stratify_key).eqNullSafe(F.col("_sk")))
                 .withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") <= F.col("_quota"))
-                .drop("_rn", "_quota")
+                .drop("_rn", "_quota", "_sk")
             )
         # exact-count deterministic sample: global sort by seeded hash, take n
         return df.orderBy(_hash_order(df, seed)).limit(int(samples))
@@ -182,8 +186,10 @@ def topk(
     if isinstance(k, float) and 0 < k < 1:
         k = max(1, math.ceil(k * df.count()))
     top = scored.orderBy(order, tiebreak).limit(int(k))
-    # rank window runs over ≤ k rows (post-limit); constant partition key
-    # silences the single-partition warning without changing the plan shape
+    # rank window runs over ≤ k rows (post-limit), so the unpartitioned
+    # WindowExec warning it triggers is moot — the "single partition" holds
+    # at most k rows by construction. (A constant partition key does NOT
+    # suppress it: Catalyst constant-folds the literal out of the spec.)
     return top.withColumn(
-        f"_{name}_rank", F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(order, tiebreak))
+        f"_{name}_rank", F.row_number().over(Window.orderBy(order, tiebreak))
     )

@@ -69,9 +69,32 @@ def split(
     # rows with identical text must stay separate documents downstream
     # (reference split.py:74 uses a per-row uuid4; the full-row hash is the
     # deterministic, replay-stable analogue — same convention as add_uuid).
-    doc_id = F.sha2(F.to_json(F.struct(*[F.col(c) for c in df.columns])), 256)
+    # EXACT-duplicate rows would share the hash, giving duplicate
+    # (doc_id, chunk_num) pairs that gather would interleave — so duplicates
+    # get a per-duplicate rank salt appended to the id. The salt needs row
+    # multiplicities, which only a shuffle or extra pass can know; rather
+    # than shuffling every wide row (forbidden — see cdc/merge.py design
+    # notes), only the duplicate rows (detected via a narrow hash-count agg,
+    # usually none) go through a window; unique rows keep the exact
+    # unsalted id and never shuffle. Cost: the input plan executes three
+    # times (count agg + anti + semi) — checkpoint expensive upstreams first.
+    from pyspark.sql import Window
+
+    base_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    with_h = df.withColumn("_h", F.xxhash64(*[F.col(c) for c in df.columns]))
+    dup_keys = (
+        with_h.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") > 1).select("_h")
+    )
+    clean = with_h.join(F.broadcast(dup_keys), "_h", "left_anti").withColumn("_salt", F.lit(1))
+    dups = with_h.join(F.broadcast(dup_keys), "_h", "left_semi").withColumn(
+        "_salt", F.row_number().over(Window.partitionBy("_h").orderBy("_h"))
+    )
+    doc_id = F.when(F.col("_salt") == 1, F.sha2(base_json, 256)).otherwise(
+        F.sha2(F.concat(base_json, F.lit("#"), F.col("_salt").cast("string")), 256)
+    )
     out = (
-        df.withColumn(f"{name}_id", doc_id)
+        clean.unionByName(dups)
+        .withColumn(f"{name}_id", doc_id)
         .withColumn("_chunks", chunk_expr)
         .select(
             *[c for c in df.columns],

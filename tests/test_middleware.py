@@ -176,3 +176,35 @@ def test_validated_through_spark_stage(spark):
     stage = as_stage(validated(fn, rule=lambda o: o["ok"], num_retries=1), "id long, ok boolean")
     out = stage(spark.range(30))
     assert out.count() == 30 and out.filter("NOT ok").count() == 0
+
+
+def test_validated_retry_preserves_dtypes_and_rejects_column_drift():
+    # retries assign column-by-column, never through a mixed-dtype ndarray
+    # that would upcast output columns to object (ADVICE r2 #4)
+    import pytest
+
+    def fn(pdf):
+        attempt = pdf["_retry_attempt"].iloc[0] if "_retry_attempt" in pdf.columns else 0
+        return pd.DataFrame({
+            "n": pdf["x"].astype("int64") + (100 if attempt else 0),
+            "s": ["ok" if attempt else "bad"] * len(pdf),
+        })
+
+    wrapped = __import__("docetl_spark.cdc.middleware", fromlist=["validated"]).validated(
+        fn, rule=lambda out: out["s"] == "ok", num_retries=2
+    )
+    out = wrapped(pd.DataFrame({"x": [1, 2, 3]}))
+    assert str(out["n"].dtype) == "int64"  # not object
+    assert list(out["n"]) == [101, 102, 103]
+    assert list(out["s"]) == ["ok", "ok", "ok"]
+
+    def drifting(pdf):
+        if "_retry_attempt" in pdf.columns:
+            return pd.DataFrame({"n": pdf["x"], "extra": pdf["x"]})
+        return pd.DataFrame({"n": pdf["x"], "s": ["bad"] * len(pdf)})
+
+    wrapped2 = __import__("docetl_spark.cdc.middleware", fromlist=["validated"]).validated(
+        drifting, rule=lambda out: out["s"] == "ok", num_retries=1
+    )
+    with pytest.raises(ValueError, match="changed the output columns"):
+        wrapped2(pd.DataFrame({"x": [1]}))

@@ -482,3 +482,36 @@ def test_value_sample_cluster_degenerate_group_no_duplicates(spark):
     ids = [r["id"] for r in out]
     assert len(ids) == len(set(ids))  # no duplicates
     assert 1 <= len(ids) <= 3
+
+
+def test_sample_stratified_null_stratum_kept(spark):
+    # NULL is a stratum: its rows were counted in the total, so they must
+    # join their quota null-safely instead of silently dropping while
+    # deflating every other stratum's share (ADVICE r2 #1)
+    rows = [(i, "a") for i in range(60)] + [(i, None) for i in range(60, 100)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = sample(df, "uniform", samples=10, stratify_key="g", seed=7)
+    got = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert got == {"a": 6, None: 4}
+
+
+def test_split_exact_duplicate_rows_stay_separate(spark):
+    # byte-identical duplicate rows get per-duplicate salted ids (reference
+    # split.py uuid4 keeps duplicates separate); unique rows keep the plain
+    # content hash (ADVICE r2 #2)
+    text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(1, text), (1, text), (2, text)], "src long, body string")
+    chunks = split(df, "body", method="token_count", num_tokens=5, name="sp")
+    assert chunks.select("sp_id").distinct().count() == 3
+    # every (sp_id, chunk_num) pair unique -> gather can never interleave
+    assert chunks.groupBy("sp_id", "sp_chunk_num").count().filter(F.col("count") > 1).count() == 0
+    # each of the three documents still has its 4 chunks
+    assert chunks.count() == 12
+    # the unique row's id is the unsalted hash: identical to a fresh
+    # single-row split of the same content
+    solo = split(
+        spark.createDataFrame([(2, text)], "src long, body string"),
+        "body", method="token_count", num_tokens=5, name="sp",
+    )
+    dup_ids = {r["sp_id"] for r in chunks.filter(F.col("src") == 2).select("sp_id").collect()}
+    assert dup_ids == {r["sp_id"] for r in solo.select("sp_id").collect()}
