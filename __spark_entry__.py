@@ -1012,11 +1012,30 @@ SELECT doc_id, rnk FROM (
 
 
 def q_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cluster operator (reference docetl/operations/cluster.py): ward
-    dendrogram over deterministic doc features, leaves annotated with
-    ancestor paths. Rows-only check (a dendrogram isn't SQL)."""
+    """cluster operator CERTIFICATE (reference docetl/operations/cluster.py):
+    a Ward dendrogram isn't SQL, so (like knn_lsh_top5) the query checks
+    dendrogram invariants in-engine and emits (doc_id, ok) against a
+    ``SELECT doc_id, true`` oracle:
+
+    1. driver path == blocked path: ``cluster()`` and ``cluster_blocked()``
+       under one constant block produce byte-identical ancestor-path arrays
+       (different leaf orderings; Ward distances are order-independent when
+       argmin ties can't occur — a distinct doc_id/1e7 coordinate breaks
+       exact ties without moving the geometry);
+    2. every leaf has >= 1 ancestor and the root (last path element,
+       nearest-ancestor-first convention, cluster.py:275-282) has size n;
+    3. subtree sizes strictly increase leaf->root;
+    4. merge distances are non-decreasing leaf->root (Ward monotonicity);
+    5. node-count consistency: an internal node of size s is the ancestor
+       of exactly s leaves, so summing multiplicity/size over distinct
+       ancestor strings counts the internal nodes — a full dendrogram has
+       exactly n-1. (Distinct-string counting alone would undercount:
+       different merges can legitimately share identical {size, distance}
+       JSON when equal-feature doc pairs merge at equal distances.)
+    """
     from docetl_spark.functions.text import token_count
     from docetl_spark.operators import cluster
+    from docetl_spark.operators.cluster_ops import cluster_blocked
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     feat = docs.select(
@@ -1025,10 +1044,43 @@ def q_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") / 100.0),
             (token_count("text") / 10.0),
             F.length(F.regexp_replace("text", r"[^.!?]", "")).cast("double"),
+            (F.col("doc_id") / 1e7),  # deterministic tie-break coordinate
         ).alias("emb"),
     )
-    out = cluster(feat, "emb")
-    return out.select("doc_id", F.size("clusters").alias("depth"))
+    n = feat.count()
+    a = cluster(feat, "emb").select("doc_id", F.col("clusters").alias("_ca"))
+    b = (
+        cluster_blocked(feat.withColumn("_blk", F.lit(1)), ["_blk"], "emb")
+        .select("doc_id", F.col("clusters").alias("_cb"))
+    )
+    # invariant 5: one bounded scalar — multiplicity/size-weighted node
+    # count across all leaf paths must be exactly n-1 (exact in float64:
+    # k occurrences of a string covering k nodes of size s sum to k*s/s)
+    node_count = (
+        a.select(F.explode("_ca").alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .agg(F.sum(F.col("m") / F.get_json_object("c", "$.size").cast("double")))
+        .collect()[0][0]
+    )
+    sizes = F.transform("_ca", lambda s: F.get_json_object(s, "$.size").cast("long"))
+    dists = F.transform("_ca", lambda s: F.get_json_object(s, "$.distance").cast("double"))
+    ok = (
+        (F.col("_ca") == F.col("_cb"))
+        & (F.size("_ca") >= 1)
+        & (F.element_at(sizes, -1) == F.lit(int(n)))
+        # strictly increasing == already-sorted with no duplicates
+        & (sizes == F.array_sort(sizes))
+        & (F.size(F.array_distinct(sizes)) == F.size(sizes))
+        & (dists == F.array_sort(dists))
+        & F.lit(float(node_count) == float(n - 1))
+    )
+    return a.join(b, "doc_id").select("doc_id", ok.alias("ok"))
+
+
+ORACLE_CLUSTER = """
+SELECT doc_id, true AS ok FROM documents WHERE doc_id < 200
+"""
 
 
 def q_link_resolve_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,8 +1249,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_outliers": ORACLE_SAMPLE_OUTLIERS,
         "equijoin_embedding": ORACLE_EQUIJOIN_EMB,
         "rank_docs": ORACLE_RANK,
+        "cluster_docs": ORACLE_CLUSTER,
         "link_resolve_repair": ORACLE_LINK_RESOLVE,
         "cdc_stream_lww": ORACLE_CDC,
-        # rows-only (no SQL equivalent): cluster_docs (a Ward dendrogram
-        # isn't SQL; its distributed/blocked path is pytest-covered)
     }
