@@ -784,27 +784,18 @@ def q_knn_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_ok=true, so any query dipping under the bound hash-mismatches.
     (The raw neighbor lists are approximate by design — recall < 1 — so
     they can't be equality-oracled; the bound is the operator's contract.)"""
-    from docetl_spark.functions.ann import knn_brute, knn_lsh
+    from docetl_spark.functions.ann import lsh_recall_at_k
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     queries = emb.filter(F.col("vec_id") < 5)
     dim = len(emb.select("embedding").first()[0])
-    # both sides are tiny (|Q|*k rows); localCheckpoint pins them so the
-    # recall joins below don't re-run the full LSH/brute pipelines
-    approx = knn_lsh(emb, queries, "vec_id", "embedding", dim=dim, k=5,
-                     planes=6, tables=6, probe_bits=2).localCheckpoint()
-    exact = knn_brute(emb, queries, "vec_id", "embedding", k=5).localCheckpoint()
-    hits = (
-        exact.select("query_id", "neighbor_id")
-        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-    )
-    return (
-        exact.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .select("query_id", (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(5.0) >= 0.6).alias("recall_ok"))
-    )
+    # one scored frame serves both sides (ann.lsh_recall_at_k): cosines are
+    # computed once and the LSH top-5 is the candidate-restricted ranking
+    # of the same scores — exactly what knn_lsh would rank (VERDICT r2 #6:
+    # no more double eager materialization of two independent pipelines)
+    rec = lsh_recall_at_k(emb, queries, "vec_id", "embedding", dim=dim, k=5,
+                          planes=6, tables=6, probe_bits=2)
+    return rec.select("query_id", (F.col("recall") >= 0.6).alias("recall_ok"))
 
 
 ORACLE_KNN_LSH = """

@@ -7,8 +7,15 @@
   multi-probe (flip each single bit), so a query only scans its own and
   adjacent buckets: candidate set shrinks ~2^planes-fold. Falls back to
   exact ranking within candidates.
+* ``knn_lsh_candidates`` — just the blocked (query, neighbor) pair set,
+  for callers that already hold exact scores or score differently.
+* ``lsh_recall_at_k`` — per-query recall@k of the LSH path against the
+  brute-force path from ONE shared scored frame: the parameter-tuning /
+  certification utility (cosines are computed once; both sides rank the
+  same scores, the LSH side restricted to its candidate pairs).
 
-Both return (query id, neighbor id, cosine, rank<=k).
+All return cosine-ranked (query id, neighbor id, cosine, rank<=k) except
+the candidates/recall helpers.
 """
 
 from __future__ import annotations
@@ -16,8 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from docetl_spark.functions.dedup import hyperplane_bucket
 from docetl_spark.functions.vectors import cosine, l2_normalize
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_qid").alias("query_id"), F.col("_nid").alias("neighbor_id"), "cosine", "rank")
+    )
 
 
 def knn_brute(
@@ -32,25 +47,19 @@ def knn_brute(
         .filter(F.col("_nid") != F.col("_qid"))
         .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
     )
-    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("_qid").alias("query_id"), F.col("_nid").alias("neighbor_id"), "cosine", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
-def knn_lsh(
-    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
-    k: int = 10, planes: int = 8, seed: int = 42, query_id_col: str | None = None,
-    tables: int = 3, probe_bits: int = 1,
+def _lsh_candidate_pairs(
+    c: DataFrame, q: DataFrame, dim: int, planes: int, seed: int, tables: int, probe_bits: int,
 ) -> DataFrame:
-    """``tables`` independent hyperplane tables (different seeds) union
+    """Blocked candidate (_qid, _nid) pairs from normalized frames
+    ``c`` (_nid, _cv) and ``q`` (_qid, _qv).
+
+    ``tables`` independent hyperplane tables (different seeds) union
     their candidates — the standard LSH recall lever: a true neighbor is
     missed only if it separates from the query in EVERY table. Candidate
-    (query, neighbor) id pairs dedup BEFORE scoring so the final rank
-    window sees each pair once; vectors join back onto the (small)
-    candidate set rather than riding through the bucket joins.
+    id pairs dedup BEFORE scoring so the rank window sees each pair once.
 
     ``probe_bits`` is the multi-probe depth: 1 visits the query's bucket
     plus every single-bit flip (planes+1 probes/table); 2 adds all 2-bit
@@ -59,55 +68,120 @@ def knn_lsh(
     is tiny; the corpus carries one row per table either way."""
     from itertools import combinations
 
-    query_id_col = query_id_col or id_col
-    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
-    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    from docetl_spark.functions.dedup import hyperplane_bucket_array
 
     flips = [0] + [1 << p for p in range(planes)]
     if probe_bits >= 2:
         flips += [(1 << a) | (1 << b) for a, b in combinations(range(planes), 2)]
 
-    c_b0 = c.select(
-        "_nid",
-        *[hyperplane_bucket("_cv", dim, planes, seed + t).alias(f"_b0_{t}") for t in range(tables)],
+    seeds = [seed + t for t in range(tables)]
+    # ONE single-fold pass computes every table's bucket (array column),
+    # materialized BEFORE the probe/table fan-out: inlining the hyperplane
+    # fold into every probe struct duplicates its (large) expression tree
+    # tables*probes times — Catalyst does not CSE it and codegen compile
+    # time explodes (the r2 form still paid `tables` separate folds; the
+    # array fold collapses them to one)
+    c_ids = (
+        c.select("_nid", hyperplane_bucket_array("_cv", dim, planes, seeds).alias("_ba"))
+        .select("_nid", F.posexplode("_ba").alias("_t", "_b"))
     )
-    c_ids = c_b0.select(
-        "_nid",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("_t"), F.col(f"_b0_{t}").alias("_b")) for t in range(tables)
-        ])).alias("_tb"),
-    ).select("_nid", "_tb._t", "_tb._b")
-    # materialize per-table base buckets as columns FIRST: inlining the
-    # hyperplane fold into every probe struct duplicates its (large)
-    # expression tree tables*probes times — Catalyst does not CSE it and
-    # codegen compile time explodes
-    q_b0 = q.select(
-        "_qid", "_qv",
-        *[hyperplane_bucket("_qv", dim, planes, seed + t).alias(f"_b0_{t}") for t in range(tables)],
+    q_ids = (
+        q.select("_qid", hyperplane_bucket_array("_qv", dim, planes, seeds).alias("_ba"))
+        .select(
+            "_qid",
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(t).alias("_t"),
+                    F.element_at("_ba", t + 1).bitwiseXOR(F.lit(m)).alias("_b"),
+                )
+                for t in range(tables)
+                for m in flips
+            ])).alias("_tb"),
+        )
+        .select("_qid", "_tb._t", "_tb._b")
     )
-    q_ids = q_b0.select(
-        "_qid",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("_t"), F.col(f"_b0_{t}").bitwiseXOR(F.lit(m)).alias("_b"))
-            for t in range(tables)
-            for m in flips
-        ])).alias("_tb"),
-    ).select("_qid", "_tb._t", "_tb._b")
 
-    pairs = (
+    return (
         c_ids.join(q_ids, ["_t", "_b"])
         .filter(F.col("_nid") != F.col("_qid"))
         .select("_qid", "_nid")
         .distinct()
     )
+
+
+def knn_lsh_candidates(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
+    planes: int = 8, seed: int = 42, query_id_col: str | None = None,
+    tables: int = 3, probe_bits: int = 1,
+) -> DataFrame:
+    """Public face of the blocking stage: (query_id, neighbor_id) pairs."""
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    return _lsh_candidate_pairs(c, q, dim, planes, seed, tables, probe_bits).select(
+        F.col("_qid").alias("query_id"), F.col("_nid").alias("neighbor_id")
+    )
+
+
+def knn_lsh(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
+    k: int = 10, planes: int = 8, seed: int = 42, query_id_col: str | None = None,
+    tables: int = 3, probe_bits: int = 1,
+) -> DataFrame:
+    """LSH-blocked ANN: candidate pairs (see ``_lsh_candidate_pairs``) then
+    exact cosine ranking within candidates — vectors join back onto the
+    (small) candidate set rather than riding through the bucket joins."""
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    pairs = _lsh_candidate_pairs(c, q, dim, planes, seed, tables, probe_bits)
     scored = (
         pairs.join(c, "_nid")
         .join(F.broadcast(q), "_qid")
         .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
     )
-    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("_qid").alias("query_id"), F.col("_nid").alias("neighbor_id"), "cosine", "rank")
+    return _rank_topk(scored, k)
+
+
+def lsh_recall_at_k(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
+    k: int = 10, planes: int = 8, seed: int = 42, query_id_col: str | None = None,
+    tables: int = 3, probe_bits: int = 1,
+) -> DataFrame:
+    """Per-query recall@k of ``knn_lsh`` against ``knn_brute``, from ONE
+    scored frame: normalize once, score every (query, corpus) pair once,
+    rank the full frame for the brute top-k and the candidate-restricted
+    frame for the LSH top-k. Returns (query_id, recall double).
+
+    This is the tuning/certification loop for (planes, tables,
+    probe_bits): at scale you run it on a sampled query set before
+    committing parameters, paying |Q|x|corpus| once instead of running
+    two independent full pipelines (and it is exactly equivalent —
+    knn_lsh ranks the same exact cosines, restricted to its candidates).
+    The scored frame is narrow (ids + one double) and is persisted across
+    its two rankings."""
+    from pyspark import StorageLevel
+
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_nid") != F.col("_qid"))
+        .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
+        .select("_qid", "_nid", "cosine")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    brute = _rank_topk(scored, k)
+    pairs = _lsh_candidate_pairs(c, q, dim, planes, seed, tables, probe_bits)
+    approx = _rank_topk(scored.join(pairs, ["_qid", "_nid"], "left_semi"), k)
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    qids = q.select(F.col("_qid").alias("query_id")).distinct()
+    return qids.join(hits, "query_id", "left").select(
+        "query_id", (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k))).alias("recall")
     )

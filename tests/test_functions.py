@@ -268,3 +268,50 @@ def test_multimodal_native_formats_through_spark(spark):
     with pytest.raises(Exception) as ei:
         multimodal.extract_features(jdf, "blob", "meta").collect()
     assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_lsh_recall_at_k_matches_independent_pipelines(spark, sf_dir):
+    # the shared-scored-frame recall must equal recall computed from the
+    # two independent knn_brute / knn_lsh pipelines (VERDICT r2 #6)
+    import os
+
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.ann import knn_brute, knn_lsh, lsh_recall_at_k
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 4)
+    dim = len(emb.select("embedding").first()[0])
+    kw = dict(dim=dim, k=5, planes=6, tables=6, probe_bits=2)
+    got = {r["query_id"]: r["recall"] for r in
+           lsh_recall_at_k(emb, queries, "vec_id", "embedding", **kw).collect()}
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in knn_brute(emb, queries, "vec_id", "embedding", k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in knn_lsh(emb, queries, "vec_id", "embedding", **kw).collect()}
+    for qid in {p[0] for p in brute}:
+        expected = len({p for p in brute if p[0] == qid} & approx) / 5.0
+        assert got[qid] == expected
+
+
+def test_hyperplane_bucket_array_bit_identical_to_singles(spark):
+    # the single-fold multi-table bucket array must reproduce the per-table
+    # hyperplane_bucket values BIT-identically (same accumulation order)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.dedup import hyperplane_bucket, hyperplane_bucket_array
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    seeds = [42, 43, 44]
+    out = df.select(
+        "id",
+        hyperplane_bucket_array("v", 16, 5, seeds).alias("arr"),
+        *[hyperplane_bucket("v", 16, 5, s).alias(f"b{t}") for t, s in enumerate(seeds)],
+    )
+    for r in out.collect():
+        assert list(r["arr"]) == [r["b0"], r["b1"], r["b2"]]
