@@ -1002,6 +1002,80 @@ SELECT doc_id, rnk FROM (
 """
 
 
+def q_rank_likert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank likert initial-ordering baseline (reference rank.py:498-668):
+    deterministic 1-7 rater (1 + n_chars % 7) runs through the real
+    batched rating protocol (batch_size chunks, calibration context,
+    neutral-4 fallback); tiebreak on doc_id so the DuckDB oracle
+    reproduces the exact order of the tie-heavy 7-value scores."""
+    from docetl_spark.operators.rank_ops import rank_likert
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def rater(batch: pd.DataFrame, ctx) -> list[int]:
+        return [1 + int(n) % 7 for n in batch["n_chars"]]
+
+    out = rank_likert(docs, rater, direction="desc", name="lk", k=30,
+                      batch_size=10, tiebreak_cols=["doc_id"])
+    return out.select(
+        "doc_id",
+        F.col("_lk_score").cast("int").alias("rating"),
+        F.col("_lk_rank").cast("int").alias("rnk"),
+    )
+
+
+ORACLE_RANK_LIKERT = """
+SELECT doc_id, CAST(rating AS INT) AS rating, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, 1 + n_chars % 7 AS rating,
+         row_number() OVER (ORDER BY (1 + n_chars % 7) DESC, doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 30
+"""
+
+
+def q_rank_calibrated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank calibrated-embedding baseline (reference rank.py:988-1090):
+    the calibration sample is vec_id < 8 in vec_id order (the stand-in
+    for the qurk-sorted sample); every vector maps to its most-similar
+    anchor and ranks by (anchor asc, sim desc). sim_round=6 on both sides
+    so the order is float-portable to the DuckDB oracle."""
+    from docetl_spark.operators.rank_ops import rank_calibrated
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors_pdf = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").toPandas()
+    anchors = [list(v) for v in anchors_pdf["v"]]
+    out = rank_calibrated(emb, "v", anchors, name="cal", k=50,
+                          tiebreak_cols=["vec_id"], sim_round=6)
+    return out.select(
+        "vec_id",
+        F.col("_cal_anchor").cast("int").alias("anchor"),
+        F.round("_cal_sim", 6).alias("sim"),
+        F.col("_cal_rank").cast("int").alias("rnk"),
+    )
+
+
+ORACLE_RANK_CALIBRATED = """
+WITH anchors AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS anchor, embedding
+  FROM embeddings WHERE vec_id < 8
+),
+best AS (
+  SELECT e.vec_id, a.anchor,
+         list_cosine_similarity(e.embedding::DOUBLE[], a.embedding::DOUBLE[]) AS sim
+  FROM embeddings e CROSS JOIN anchors a
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY sim DESC, a.anchor) = 1
+)
+SELECT vec_id, CAST(anchor AS INT) AS anchor, round(sim, 6) AS sim, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT vec_id, anchor, sim,
+         row_number() OVER (ORDER BY anchor, round(sim, 6) DESC, vec_id) AS rnk
+  FROM best
+) WHERE rnk <= 50
+"""
+
+
 def q_cluster_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cluster operator CERTIFICATE (reference docetl/operations/cluster.py):
     a Ward dendrogram isn't SQL, so (like knn_lsh_top5) the query checks
@@ -1197,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_outliers": q_sample_outliers,
         "equijoin_embedding": q_equijoin_embedding,
         "rank_docs": q_rank_docs,
+        "rank_likert_docs": q_rank_likert_docs,
+        "rank_calibrated_docs": q_rank_calibrated_docs,
         "cluster_docs": q_cluster_docs,
         "link_resolve_repair": q_link_resolve_repair,
         "cdc_stream_lww": q_cdc_stream_lww,
@@ -1240,6 +1316,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_outliers": ORACLE_SAMPLE_OUTLIERS,
         "equijoin_embedding": ORACLE_EQUIJOIN_EMB,
         "rank_docs": ORACLE_RANK,
+        "rank_likert_docs": ORACLE_RANK_LIKERT,
+        "rank_calibrated_docs": ORACLE_RANK_CALIBRATED,
         "cluster_docs": ORACLE_CLUSTER,
         "link_resolve_repair": ORACLE_LINK_RESOLVE,
         "cdc_stream_lww": ORACLE_CDC,

@@ -142,6 +142,7 @@ def rank(
     num_top_items_per_window: int = 3,
     overlap_fraction: float = 0.5,
     score_fn: Callable[[pd.DataFrame], pd.Series] | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Total ordering by score; adds ``_{name}_rank`` (1-based) and keeps
     ``_{name}_score``.
@@ -180,19 +181,35 @@ def rank(
     else:
         sc = F.col(score) if isinstance(score, str) else score
         scored = df.withColumn(f"_{name}_score", sc.cast("double"))
+    # default tiebreak: content hash (deterministic at any parallelism);
+    # pass tiebreak_cols for an ordering reproducible in external SQL
+    # oracles (coarse scores like likert ratings tie constantly)
+    if tiebreak_cols:
+        tiebreak = [F.col(c) for c in tiebreak_cols]
+    else:
+        tiebreak = [F.xxhash64(*[F.col(c) for c in df.columns])]
     order = (
         [F.col(f"_{name}_score").desc()] if direction == "desc" else [F.col(f"_{name}_score").asc()]
-    ) + [F.xxhash64(*[F.col(c) for c in df.columns])]
+    ) + tiebreak
 
     if k is not None:
         top = scored.orderBy(*order).limit(int(k))
+        if picker is not None or rerank_fn is not None:
+            import pyspark.sql.types as T
+
+            # explicit schema: pandas inference raises on an empty top-k
+            # slice and can round-trip typed columns (arrays, decimals)
+            # to different types (ADVICE r2 #3)
+            out_schema = T.StructType(
+                list(top.schema.fields) + [T.StructField(f"_{name}_rank", T.LongType(), False)]
+            )
         if picker is not None:
             pdf = top.toPandas()
             pdf = _picky_window_protocol(
                 pdf, picker, int(k), rerank_call_budget, num_top_items_per_window, overlap_fraction
             )
             pdf[f"_{name}_rank"] = range(1, len(pdf) + 1)
-            return df.sparkSession.createDataFrame(pdf)
+            return df.sparkSession.createDataFrame(pdf, schema=out_schema)
         if rerank_fn is not None:
             pdf = top.toPandas()
             head = pdf.head(rerank_window).copy()
@@ -200,7 +217,7 @@ def rank(
             pdf = pd.concat([head, pdf.iloc[len(head):]])
             pdf = pdf.sort_values(f"_{name}_score", ascending=(direction != "desc"), kind="mergesort")
             pdf[f"_{name}_rank"] = range(1, len(pdf) + 1)
-            return df.sparkSession.createDataFrame(pdf)
+            return df.sparkSession.createDataFrame(pdf, schema=out_schema)
         # window runs over ≤ k rows (post-limit), so the unpartitioned
         # WindowExec warning is moot — the single partition holds at most
         # k rows by construction. (A constant partition key would NOT
@@ -210,3 +227,166 @@ def rank(
         )
 
     return _distributed_global_rank(scored, order, f"_{name}_rank")
+
+
+# ---------------------------------------------------------------------------
+# batteries-included initial-ordering baselines (reference rank.py:498,:988)
+# ---------------------------------------------------------------------------
+
+def likert_score_fn(
+    rater: Callable[[pd.DataFrame, "pd.DataFrame | None"], "list[int]"],
+    batch_size: int = 10,
+    context: "pd.DataFrame | None" = None,
+) -> Callable[[pd.DataFrame], pd.Series]:
+    """The reference's likert rating protocol (rank.py:498-668) as a
+    ``rank(score_fn=...)`` scorer: documents are rated on a 1-7 scale in
+    input-order batches of ``batch_size``; out-of-range / missing ratings
+    fall back to the neutral 4 (rank.py:646-649). ``rater(batch_pdf,
+    context_pdf) -> list[int]`` is the pluggable LLM stand-in — an
+    LLM-backed rater slots in through ``cdc.middleware.cached`` /
+    ``validated`` exactly like any other batch transform. ``context`` is
+    the calibration sample the reference renders into every prompt
+    (rank.py:524-537).
+
+    Distributed geometry note: the reference batches over the one global
+    input list; here batches form within each Arrow batch (per partition)
+    — the same batch SIZE the rater sees, group membership differs. A
+    per-document rater is unaffected; a context-sensitive rater gets the
+    explicit calibration ``context`` instead of cross-batch state.
+    """
+
+    import numpy as np
+
+    def score(pdf: pd.DataFrame) -> pd.Series:
+        ratings = np.full(len(pdf), 4.0)
+        for start in range(0, len(pdf), batch_size):
+            chunk = pdf.iloc[start : start + batch_size]
+            out = list(rater(chunk, context))[: len(chunk)]
+            for j, r in enumerate(out):
+                try:
+                    r = int(r)
+                except (TypeError, ValueError):
+                    continue
+                if 1 <= r <= 7:
+                    ratings[start + j] = float(r)
+        return pd.Series(ratings)
+
+    return score
+
+
+def rank_likert(
+    df: DataFrame,
+    rater: Callable[[pd.DataFrame, "pd.DataFrame | None"], "list[int]"],
+    direction: str = "desc",
+    name: str = "rank",
+    k: int | None = None,
+    batch_size: int = 10,
+    num_calibration_docs: int = 10,
+    seed: int = 42,
+    tiebreak_cols: list[str] | None = None,
+    **rank_kwargs,
+) -> DataFrame:
+    """Likert initial ordering end-to-end: draw the calibration sample
+    (seeded hash order — the distributed analogue of the reference's
+    ``random.seed(42); random.sample``, rank.py:525-527), rate every doc
+    through ``likert_score_fn``, then rank (optionally into the picky
+    window via ``picker=...`` in ``rank_kwargs``)."""
+    ctx = (
+        df.orderBy(F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed)))
+        .limit(int(num_calibration_docs))
+        .toPandas()
+    )
+    return rank(
+        df,
+        score_fn=likert_score_fn(rater, batch_size=batch_size, context=ctx),
+        direction=direction,
+        name=name,
+        k=k,
+        tiebreak_cols=tiebreak_cols,
+        **rank_kwargs,
+    )
+
+
+def calibrated_anchor_scores(vec_col, anchors: "list[list[float]]"):
+    """struct<anchor:int, sim:double> per row: index of the most
+    cosine-similar calibration anchor (first-max-wins — np.argmax, same
+    as the reference's rank.py:1056-1060) and that similarity. Anchors
+    are a driver-side constant matrix captured by the Arrow UDF; the
+    per-row kernel is the same zero-copy ascending-dim accumulation as
+    functions.vectors."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    a = np.asarray(anchors, dtype=np.float64)  # K x D
+    n_anchors, dim = a.shape
+    at = a.T.copy()
+    anorm = np.sqrt((a * a).sum(axis=1))
+
+    out_type = T.StructType([
+        T.StructField("anchor", T.IntegerType(), True),
+        T.StructField("sim", T.DoubleType(), True),
+    ])
+
+    @arrow_udf(out_type, ArrowUDFType.SCALAR)
+    def _scores(v: pa.Array) -> pa.Array:
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        flat = np.asarray(v.flatten(), dtype=np.float64)
+        n = len(v)
+        x = flat.reshape(n, dim) if n else np.zeros((0, dim))
+        dots = np.zeros((n, n_anchors))
+        xsq = np.zeros(n)
+        for d in range(dim):  # ascending-dim adds: deterministic, no BLAS
+            dots += x[:, d, None] * at[d]
+            xsq += x[:, d] * x[:, d]
+        sims = dots / (np.sqrt(xsq)[:, None] * anorm[None, :] + 1e-12)
+        idx = sims.argmax(axis=1) if n else np.zeros(0, dtype=np.int64)
+        best = sims[np.arange(n), idx] if n else np.zeros(0)
+        return pa.StructArray.from_arrays(
+            [pa.array(idx.astype(np.int32)), pa.array(best, type=pa.float64())],
+            ["anchor", "sim"],
+        )
+
+    return _scores(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def rank_calibrated(
+    df: DataFrame,
+    embedding_col: str,
+    anchors: "list[list[float]]",
+    name: str = "rank",
+    k: int | None = None,
+    tiebreak_cols: list[str] | None = None,
+    sim_round: int | None = None,
+    **rank_kwargs,
+) -> DataFrame:
+    """Calibrated-embedding initial ordering (reference rank.py:988-1090):
+    ``anchors`` is the pre-SORTED calibration sample's embedding list
+    (the reference sorts ~20 sampled docs with its all-pairs comparison
+    baseline, then embeds them — here the caller supplies the sorted
+    embeddings; an LLM-sorted sample plugs in upstream). Every row maps
+    to its most-similar anchor and rows order by (anchor index asc,
+    similarity desc) — reference's sort key (rank.py:1066-1069) — here a
+    composite score ``anchor*4 + (1 - sim)`` ranked ascending (sim is in
+    [-1,1], so consecutive anchors' score ranges never overlap).
+
+    ``sim_round`` rounds similarities before scoring — used by contract
+    queries so an external SQL oracle's float cosine can reproduce the
+    exact order. Output carries ``_{name}_anchor`` / ``_{name}_sim``.
+    """
+    df2 = (
+        df.withColumn("_cal", calibrated_anchor_scores(embedding_col, anchors))
+        .withColumn(f"_{name}_anchor", F.col("_cal.anchor"))
+        .withColumn(f"_{name}_sim", F.col("_cal.sim"))
+        .drop("_cal")
+    )
+    sim = F.col(f"_{name}_sim")
+    if sim_round is not None:
+        sim = F.round(sim, int(sim_round))
+    score = F.col(f"_{name}_anchor").cast("double") * 4.0 + (F.lit(1.0) - sim)
+    return rank(
+        df2, score=score, direction="asc", name=name, k=k,
+        tiebreak_cols=tiebreak_cols, **rank_kwargs,
+    )

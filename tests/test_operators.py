@@ -515,3 +515,78 @@ def test_split_exact_duplicate_rows_stay_separate(spark):
     )
     dup_ids = {r["sp_id"] for r in chunks.filter(F.col("src") == 2).select("sp_id").collect()}
     assert dup_ids == {r["sp_id"] for r in solo.select("sp_id").collect()}
+
+
+def test_rank_likert_protocol(spark):
+    # reference rank.py:498-668 semantics: batched 1-7 ratings, out-of-range
+    # and missing ratings fall back to neutral 4, sort by rating
+    from docetl_spark.operators.rank_ops import rank_likert
+
+    seen_batches = []
+
+    def rater(batch, ctx):
+        seen_batches.append(len(batch))
+        out = []
+        for v in batch["id"]:
+            if v % 10 == 0:
+                out.append(99)  # out of range -> neutral 4
+            else:
+                out.append(1 + v % 7)
+        return out
+
+    df = spark.createDataFrame([(i,) for i in range(25)], "id long").coalesce(1)
+    out = rank_likert(df, rater, direction="desc", name="lk", k=25,
+                      batch_size=10, tiebreak_cols=["id"])
+    rows = out.orderBy("_lk_rank").collect()
+    # expected: rating = 4 if id%10==0 else 1+id%7, sorted desc then id asc
+    expected = sorted(range(25), key=lambda i: (-(4 if i % 10 == 0 else 1 + i % 7), i))
+    assert [r["id"] for r in rows] == expected
+    assert all(b <= 10 for b in seen_batches)  # reference batch geometry
+
+
+def test_rank_likert_short_ratings_default_neutral(spark):
+    from docetl_spark.operators.rank_ops import rank_likert
+
+    # rater returns fewer ratings than docs: unrated docs stay at 4
+    def rater(batch, ctx):
+        return [7]  # only the first doc of each batch is rated
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1)
+    out = rank_likert(df, rater, name="lk", k=6, batch_size=3, tiebreak_cols=["id"])
+    got = {r["id"]: r["_lk_score"] for r in out.collect()}
+    assert got == {0: 7.0, 3: 7.0, 1: 4.0, 2: 4.0, 4: 4.0, 5: 4.0}
+
+
+def test_rank_calibrated_matches_reference_sort(spark):
+    # reference rank.py:1056-1069: map to argmax-similar anchor
+    # (first-max-wins), order by (anchor asc, sim desc)
+    import numpy as np
+
+    from docetl_spark.operators.rank_ops import rank_calibrated
+
+    rng = np.random.RandomState(3)
+    vecs = [[float(x) for x in rng.randn(8)] for _ in range(40)]
+    anchors = [[float(x) for x in rng.randn(8)] for _ in range(4)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vecs)], "id long, v array<double>")
+    out = rank_calibrated(df, "v", anchors, name="cal", tiebreak_cols=["id"])
+    rows = out.orderBy("_cal_rank").collect()
+
+    def ref_key(i):
+        x = np.array(vecs[i])
+        sims = [float(x @ np.array(a) / (np.linalg.norm(x) * np.linalg.norm(np.array(a)))) for a in anchors]
+        best = int(np.argmax(sims))
+        return (best, -max(sims), i)
+
+    expected = sorted(range(40), key=ref_key)
+    assert [r["id"] for r in rows] == expected
+    assert [r["_cal_anchor"] for r in rows] == [ref_key(i)[0] for i in expected]
+
+
+def test_rank_picker_empty_input_keeps_schema(spark):
+    # ADVICE r2 #3: picker path on an empty slice must not die in pandas
+    # schema inference, and typed columns round-trip
+    df = spark.createDataFrame([], "id long, v array<double>, s double")
+    out = rank(df, score="s", name="r", k=5, picker=lambda w, n: list(range(n)))
+    assert out.count() == 0
+    assert dict(out.dtypes)["v"] == "array<double>"
+    assert dict(out.dtypes)["_r_rank"] == "bigint"
