@@ -403,6 +403,78 @@ FROM w
 """
 
 
+def q_gather_hierarchy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gather with HIERARCHICAL section headers (reference
+    gather.py:262-327): every third chunk carries one {header, level}
+    struct with level alternating 2/1, so the accumulated
+    ``_Current Section:_`` line appears exactly on level-2 chunks that
+    have seen a level-1 ancestor — which the oracle reproduces with a
+    running max window. Multi-header chunks and the clearing quirk are
+    pytest-verified against a python mirror of the reference loop."""
+    from docetl_spark.operators import gather, split
+
+    hdr_t = "array<struct<header:string,level:int>>"
+    docs = _t(spark, sf_dir, "documents")
+    chunks = split(docs, "text", method="delimiter", delimiter=" ", num_splits_to_group=40, name="sp")
+    hdr = (
+        F.when(
+            F.col("sp_chunk_num") % 3 == 1,
+            F.array(F.struct(
+                F.concat(F.lit("Sec "), F.col("doc_id").cast("string"), F.lit("."),
+                         F.col("sp_chunk_num").cast("string")).alias("header"),
+                (F.lit(1) + F.col("sp_chunk_num") % 2).cast("int").alias("level"),
+            )).cast(hdr_t),
+        ).otherwise(F.array().cast(hdr_t))
+    )
+    out = gather(
+        chunks.withColumn("hdrs", hdr),
+        "text_chunk", "doc_id", "sp_chunk_num",
+        peripheral_chunks={"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
+        doc_header_key="hdrs",
+    )
+    return out.select(
+        "doc_id", F.col("sp_chunk_num").alias("chunk_num"),
+        F.col("text_chunk_rendered").alias("rendered"),
+    )
+
+
+ORACLE_GATHER_HIER = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(gs AS INT) AS chunk_num,
+         array_to_string(toks[(gs-1)*40+1 : gs*40], ' ') AS chunk
+  FROM (SELECT doc_id, toks, unnest(range(1, CAST(ceil(len(toks)/40.0) AS BIGINT)+1)) AS gs FROM t)
+),
+w AS (
+  SELECT doc_id, chunk_num, chunk,
+         lag(chunk)  OVER win AS prev_chunk,
+         lead(chunk) OVER win AS next_chunk,
+         sum(length(chunk)) OVER (PARTITION BY doc_id ORDER BY chunk_num
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS skip_before,
+         sum(length(chunk)) OVER (PARTITION BY doc_id ORDER BY chunk_num
+                                  ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS skip_after,
+         max(CASE WHEN chunk_num % 6 = 4 THEN chunk_num END)
+           OVER (PARTITION BY doc_id ORDER BY chunk_num
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_l1
+  FROM chunks WINDOW win AS (PARTITION BY doc_id ORDER BY chunk_num)
+)
+SELECT doc_id, chunk_num, concat_ws(chr(10),
+  CASE WHEN prev_chunk IS NOT NULL THEN '--- Previous Context ---' END,
+  CASE WHEN skip_before IS NOT NULL THEN '[... ' || skip_before || ' characters skipped ...]' END,
+  prev_chunk,
+  CASE WHEN prev_chunk IS NOT NULL THEN '--- End Previous Context ---' END,
+  CASE WHEN chunk_num % 6 = 1 AND last_l1 IS NOT NULL
+       THEN '_Current Section:_ # Sec ' || doc_id || '.' || last_l1 END,
+  '--- Begin Main Chunk ---', chunk, '--- End Main Chunk ---',
+  CASE WHEN next_chunk IS NOT NULL THEN '--- Next Context ---' END,
+  next_chunk,
+  CASE WHEN skip_after IS NOT NULL THEN '[... ' || skip_after || ' characters skipped ...]' END,
+  CASE WHEN next_chunk IS NOT NULL THEN '--- End Next Context ---' END
+) AS rendered
+FROM w
+"""
+
+
 def q_unnest_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.operators import unnest
 
@@ -1250,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_majority_canon": q_resolve_majority_canon,
         "split_chunks": q_split_chunks,
         "gather_rendered": q_gather_rendered,
+        "gather_hierarchy_docs": q_gather_hierarchy_docs,
         "unnest_doc_tokens": q_unnest_doc_tokens,
         "extract_regex_docs": q_extract_regex_docs,
         "extract_lines_docs": q_extract_lines_docs,
@@ -1295,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_majority_canon": ORACLE_RESOLVE,
         "split_chunks": ORACLE_SPLIT,
         "gather_rendered": ORACLE_GATHER,
+        "gather_hierarchy_docs": ORACLE_GATHER_HIER,
         "unnest_doc_tokens": ORACLE_UNNEST,
         "extract_regex_docs": ORACLE_EXTRACT,
         "extract_lines_docs": ORACLE_EXTRACT_LINES,

@@ -85,15 +85,21 @@ def split(
     dup_keys = (
         with_h.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") > 1).select("_h")
     )
-    clean = with_h.join(F.broadcast(dup_keys), "_h", "left_anti").withColumn("_salt", F.lit(1))
-    dups = with_h.join(F.broadcast(dup_keys), "_h", "left_semi").withColumn(
-        "_salt", F.row_number().over(Window.partitionBy("_h").orderBy("_h"))
-    )
+    if dup_keys.isEmpty():
+        # common case: all rows distinct — the probe job above is the only
+        # extra cost, and the split plan stays the original single pass
+        prepped = with_h.withColumn("_salt", F.lit(1))
+    else:
+        clean = with_h.join(F.broadcast(dup_keys), "_h", "left_anti").withColumn("_salt", F.lit(1))
+        dups = with_h.join(F.broadcast(dup_keys), "_h", "left_semi").withColumn(
+            "_salt", F.row_number().over(Window.partitionBy("_h").orderBy("_h"))
+        )
+        prepped = clean.unionByName(dups)
     doc_id = F.when(F.col("_salt") == 1, F.sha2(base_json, 256)).otherwise(
         F.sha2(F.concat(base_json, F.lit("#"), F.col("_salt").cast("string")), 256)
     )
     out = (
-        clean.unionByName(dups)
+        prepped
         .withColumn(f"{name}_id", doc_id)
         .withColumn("_chunks", chunk_expr)
         .select(
@@ -105,6 +111,116 @@ def split(
         .drop("_pos")
     )
     return out
+
+
+def _lvl(x):
+    """Header level as int or None (pandas delivers struct ints holding
+    NULLs as float NaN)."""
+    if x is None or (isinstance(x, float) and x != x):
+        return None
+    return int(x)
+
+
+def _hierarchy_fold(header_lists: list) -> list:
+    """Reference gather.py:306-320 hierarchy accumulation, exactly —
+    including the clearing quirk: a level-l header nulls levels in
+    ``range(l+1, len(hierarchy)+1)`` where len COUNTS already-cleared
+    entries, so with sparse level sets a deep stale header can survive.
+    Returns [(level, header_or_None)] in insertion order."""
+    hierarchy: dict = {}
+    for headers in header_lists:
+        for h in headers or []:
+            header, level = h["header"], _lvl(h["level"])
+            if not isinstance(header, str):
+                header = None  # None / NaN through pandas
+            if header and level:
+                hierarchy[level] = header
+                for lower in range(level + 1, len(hierarchy) + 1):
+                    if lower in hierarchy:
+                        hierarchy[lower] = None
+    return list(hierarchy.items())
+
+
+def _render_hierarchy_headers(current_headers: list, header_lists: list) -> str:
+    """Reference gather.py:262-327: the ``_Current Section:_`` line for
+    the current chunk — ancestor headers strictly above the chunk's own
+    highest header level, each rendered ``'#' * level + ' ' + header`` and
+    joined with `` > ``; empty string when the chunk has no headers or no
+    ancestors survive the filter."""
+    if not current_headers:
+        return ""
+    levels = [_lvl(h["level"]) for h in current_headers if _lvl(h["level"]) is not None]
+    highest = min(levels) if levels else None
+    rendered = [
+        f"{'#' * level} {header}"
+        for level, header in sorted(_hierarchy_fold(header_lists))
+        if header is not None and (highest is None or level < highest)
+    ]
+    joined = " > ".join(rendered)
+    return f"_Current Section:_ {joined}" if joined else ""
+
+
+def _hierarchy_header_expr(cur, w) -> F.Column:
+    """JVM form of ``_render_hierarchy_headers`` over a running window:
+    one aggregate fold per chunk over the flattened prior header structs
+    (array<struct<header,level>> per chunk). Header counts are tiny, so
+    the interpreted fold is cheap; the document's chunks already shuffle
+    once for the gather window — no extra exchange."""
+    from pyspark.sql import Window
+
+    prior = F.flatten(
+        F.collect_list(cur).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    empty_state = F.array().cast("array<struct<level:int,header:string>>")
+
+    def entry(level, header):
+        return F.struct(level.cast("int").alias("level"), header.cast("string").alias("header"))
+
+    def step(acc, h):
+        valid = (
+            h["header"].isNotNull() & (h["header"] != "")
+            & h["level"].isNotNull() & (h["level"] != 0)
+        )
+        exists = F.exists(acc, lambda e: e["level"] == h["level"])
+        sz_after = F.size(acc) + F.when(exists, F.lit(0)).otherwise(F.lit(1))
+        updated = F.transform(
+            acc,
+            lambda e: F.when(e["level"] == h["level"], entry(e["level"], h["header"]))
+            .when(
+                (e["level"] > h["level"]) & (e["level"] <= sz_after),
+                entry(e["level"], F.lit(None)),
+            )
+            .otherwise(e),
+        )
+        appended = F.when(exists, updated).otherwise(
+            F.array_append(updated, entry(h["level"], h["header"]))
+        )
+        return F.when(valid, appended).otherwise(acc)
+
+    state = F.aggregate(prior, empty_state, step)
+    levels = F.filter(F.transform(cur, lambda h: h["level"]), lambda x: x.isNotNull())
+    highest = F.array_min(levels)
+    entries = F.array_sort(
+        F.filter(
+            state,
+            lambda e: e["header"].isNotNull() & (highest.isNull() | (e["level"] < highest)),
+        )
+    )
+    line = F.concat(
+        F.lit("_Current Section:_ "),
+        F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat(
+                    F.array_join(F.array_repeat(F.lit("#"), e["level"]), ""),
+                    F.lit(" "),
+                    e["header"],
+                ),
+            ),
+            " > ",
+        ),
+    )
+    return F.when((F.size(cur) > 0) & (F.size(entries) > 0), line)
 
 
 def _render_side(chunks: list[tuple[int, str]], cfg: dict, label: str) -> list[str]:
@@ -153,6 +269,18 @@ def gather(
     peripheral = peripheral_chunks or {"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}}
     out_field = f"{content_key}_rendered"
 
+    # doc_header_key dispatch: a string column is the flat legacy header
+    # (prepended whole); an array<struct<header,level>> column is the
+    # reference's hierarchical form (gather.py:262-327) — the accumulated
+    # "_Current Section:_" line renders between the previous context and
+    # the main chunk, exactly where render_chunk_with_context puts it.
+    hierarchical = False
+    if doc_header_key:
+        hdr_type = df.schema[doc_header_key].dataType
+        hierarchical = isinstance(hdr_type, T.ArrayType) and isinstance(
+            hdr_type.elementType, T.StructType
+        )
+
     prev_cfg, next_cfg = peripheral.get("previous"), peripheral.get("next")
     simple = (
         set(peripheral) <= {"previous", "next"}
@@ -165,7 +293,7 @@ def gather(
         w = Window.partitionBy(doc_id_key).orderBy(order_key)
         c = F.coalesce(F.col(content_key), F.lit(""))
         parts: list = []
-        if doc_header_key:
+        if doc_header_key and not hierarchical:
             parts.append(F.when(F.col(doc_header_key).isNotNull(), F.col(doc_header_key).cast("string")))
         if prev_cfg:
             p = int(prev_cfg["tail"].get("count", 0))
@@ -178,6 +306,9 @@ def gather(
                 F.when((prev_cnt > 0) & F.lit(p > 0), F.array_join(tail_arr, "\n")),
                 F.when(prev_cnt > 0, F.lit("--- End Previous Context ---")),
             ]
+        if hierarchical:
+            no_hdrs = F.array().cast(hdr_type.simpleString())
+            parts.append(_hierarchy_header_expr(F.coalesce(F.col(doc_header_key), no_hdrs), w))
         parts += [F.lit(main_chunk_start), c, F.lit(main_chunk_end)]
         if next_cfg:
             n = int(next_cfg["head"].get("count", 0))
@@ -197,15 +328,26 @@ def gather(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_key, kind="mergesort").reset_index(drop=True)
         texts = pdf[content_key].fillna("").tolist()
+        if hierarchical:
+            header_lists = [
+                [h if isinstance(h, dict) else dict(h) for h in hl]
+                if hl is not None and len(hl)
+                else []
+                for hl in pdf[doc_header_key]
+            ]
         rendered = []
         for i in range(len(pdf)):
             parts: list[str] = []
-            if doc_header_key and doc_header_key in pdf.columns and pd.notna(pdf[doc_header_key].iloc[i]):
+            if doc_header_key and not hierarchical and doc_header_key in pdf.columns and pd.notna(pdf[doc_header_key].iloc[i]):
                 parts.append(str(pdf[doc_header_key].iloc[i]))
             prev = list(enumerate(texts[:i]))
             nxt = list(enumerate(texts[i + 1 :], start=i + 1))
             if "previous" in peripheral:
                 parts += _render_side(prev, peripheral["previous"], "Previous")
+            if hierarchical:
+                line = _render_hierarchy_headers(header_lists[i], header_lists[: i + 1])
+                if line:
+                    parts.append(line)
             parts += [main_chunk_start, texts[i], main_chunk_end]
             if "next" in peripheral:
                 parts += _render_side(nxt, peripheral["next"], "Next")

@@ -590,3 +590,57 @@ def test_rank_picker_empty_input_keeps_schema(spark):
     assert out.count() == 0
     assert dict(out.dtypes)["v"] == "array<double>"
     assert dict(out.dtypes)["_r_rank"] == "bigint"
+
+
+def test_gather_hierarchical_headers_jvm_matches_reference_fold(spark):
+    # reference gather.py:262-327 hierarchy headers: the JVM window+fold
+    # path must byte-match the python mirror of the reference loop
+    # (including the len-counting clearing quirk) on multi-header chunks
+    from docetl_spark.operators.split_gather import (
+        _render_hierarchy_headers,
+        gather,
+    )
+
+    def H(header, level):
+        return {"header": header, "level": level}
+
+    chunks = [
+        (1, "d", 1, [H("Intro", 1)]),
+        (2, "d", 2, [H("Background", 2), H("Details", 3)]),
+        (3, "d", 3, []),
+        (4, "d", 4, [H("Methods", 1), H("Setup", 2)]),
+        (5, "d", 5, [H("", 2), H("Results", 2)]),   # empty header skipped
+        (6, "d", 6, [H("Deep", 3)]),
+        (7, "d", 7, [H(None, None)]),               # null header/level
+    ]
+    df = spark.createDataFrame(
+        chunks,
+        "id long, doc string, num int, hdrs array<struct<header:string, level:int>>",
+    )
+    out = gather(
+        df, "doc", "doc", "num",
+        peripheral_chunks={"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
+        doc_header_key="hdrs",
+    )
+    got = {r["num"]: r["doc_rendered"] for r in out.collect()}
+
+    header_lists = [c[3] for c in chunks]
+    for i, (_, _, num, cur) in enumerate(chunks):
+        expected_line = _render_hierarchy_headers(cur, header_lists[: i + 1])
+        body = got[num]
+        if expected_line:
+            assert f"\n{expected_line}\n--- Begin Main Chunk ---" in body, (num, body)
+        else:
+            assert "_Current Section:_" not in body.split("--- Begin Main Chunk ---")[0].split("--- End Previous Context ---")[-1], (num, body)
+
+    # exotic config forces the pandas path; hierarchy lines must match
+    out2 = gather(
+        df, "doc", "doc", "num",
+        peripheral_chunks={"previous": {"head": {"count": 1}, "tail": {"count": 1}}},
+        doc_header_key="hdrs",
+    )
+    got2 = {r["num"]: r["doc_rendered"] for r in out2.collect()}
+    for i, (_, _, num, cur) in enumerate(chunks):
+        expected_line = _render_hierarchy_headers(cur, header_lists[: i + 1])
+        if expected_line:
+            assert expected_line in got2[num], (num, got2[num])
