@@ -231,6 +231,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_reduce_lineage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce ``output.lineage`` (reference reduce.py:359-368,
+    tests/basic/test_basic_reduce_resolve.py:148-166): the reduced row
+    carries every group member's key projection. Exploded with position
+    so the oracle checks content AND the deterministic (key-sorted)
+    order."""
+    from docetl_spark.operators import code_reduce
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 5).alias("grp"), "doc_id", "n_chars"
+    )
+    out = code_reduce(
+        docs, "grp",
+        lambda g: {"total_chars": int(g["n_chars"].sum())},
+        {"total_chars": "int"},
+        name="agg",
+        lineage_keys=["doc_id"],
+    )
+    return out.select(
+        "grp", "total_chars", F.posexplode("agg_lineage").alias("pos", "m")
+    ).select("grp", "total_chars", "pos", F.col("m.doc_id").alias("member_doc_id"))
+
+
+ORACLE_REDUCE_LINEAGE = """
+WITH g AS (SELECT doc_id % 5 AS grp, doc_id, n_chars FROM documents),
+r AS (SELECT grp, sum(n_chars) AS total_chars FROM g GROUP BY grp)
+SELECT r.grp, r.total_chars,
+       CAST(row_number() OVER (PARTITION BY g.grp ORDER BY g.doc_id) - 1 AS INT) AS pos,
+       g.doc_id AS member_doc_id
+FROM r JOIN g ON r.grp = g.grp
+"""
+
+
 def q_fold_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.operators import reduce_fold
 
@@ -1315,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_agg": q_events_props_agg,
         "top_events_per_user": q_top_events_per_user,
         "code_reduce_groups": q_code_reduce_groups,
+        "reduce_lineage_docs": q_reduce_lineage_docs,
         "fold_events_per_user": q_fold_events_per_user,
         "reduce_merge_salted": q_reduce_merge_salted,
         "value_sample_first_n": q_value_sample_first_n,
@@ -1361,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_agg": ORACLE_PROPS,
         "top_events_per_user": ORACLE_TOP_EVENTS,
         "code_reduce_groups": ORACLE_CODE_REDUCE,
+        "reduce_lineage_docs": ORACLE_REDUCE_LINEAGE,
         "fold_events_per_user": ORACLE_FOLD,
         "reduce_merge_salted": ORACLE_MERGE_SALTED,
         "value_sample_first_n": ORACLE_VALUE_SAMPLE,

@@ -63,6 +63,7 @@ def code_reduce(
     name: str = "reduce",
     pass_through: bool = False,
     add_counts: bool = True,
+    lineage_keys: list[str] | None = None,
 ) -> DataFrame:
     """Batch reduce: one output row per group via a pandas group function.
 
@@ -70,6 +71,13 @@ def code_reduce(
     output values; reduce keys are back-filled from the group
     (code_operations.py:154-157), ``pass_through`` copies remaining columns
     from the group's first row.
+
+    ``lineage_keys`` (reference ``output.lineage``, reduce.py:359-368):
+    adds ``{name}_lineage`` = array<struct<keys...>> of every group
+    member's key projection. The reference keeps arrival order (one
+    thread's list-append); a distributed group has no arrival order, so
+    members sort by the lineage key tuple — deterministic at any
+    parallelism.
     """
     keys = _norm_keys(reduce_key)
     df2, gcols = _prep_groups(df, keys)
@@ -90,6 +98,12 @@ def code_reduce(
     count_col = f"_counts_prereduce_{name}"
     if add_counts:
         fields.append(T.StructField(count_col, T.LongType(), True))
+    lineage_col = f"{name}_lineage"
+    if lineage_keys:
+        lin_struct = T.StructType(
+            [T.StructField(k, df.schema[k].dataType, True) for k in lineage_keys]
+        )
+        fields.append(T.StructField(lineage_col, T.ArrayType(lin_struct), True))
     schema = T.StructType(fields)
     key_pairs = list(zip(keys, gcols))
     passthrough_cols = [f.name for f in df.schema.fields if f.name not in keys] if pass_through else []
@@ -105,6 +119,13 @@ def code_reduce(
         row.update(res)
         if add_counts:
             row[count_col] = len(pdf)
+        if lineage_keys:
+            lin = pdf[list(lineage_keys)].sort_values(list(lineage_keys), kind="mergesort")
+            row[lineage_col] = [
+                {k: (None if v is None or (isinstance(v, float) and v != v) else v)
+                 for k, v in rec.items()}
+                for rec in lin.to_dict("records")
+            ]
         return pd.DataFrame([{c: row.get(c) for c in out_names}])
 
     return df2.groupBy(*gcols).applyInPandas(run, schema=schema)
@@ -118,6 +139,8 @@ def reduce_fold(
     order_col: str = "lsn",
     fold_batch_size: int = 100,
     init_state: dict | None = None,
+    persist_intermediates: bool = False,
+    name: str = "reduce",
 ) -> DataFrame:
     """Ordered incremental fold with scratchpad (reduce.py:631-699).
 
@@ -126,7 +149,14 @@ def reduce_fold(
     the scratchpad state forward (the non-commutative aggregation path —
     order within the group is guaranteed regardless of partitioning, which
     is what makes the result byte-stable across parallelism levels).
+
+    ``persist_intermediates`` (reference reduce.py:391-397,:540-546): adds
+    ``_{name}_intermediates`` = array<string> of each fold round's state
+    as canonical JSON ``{"iter": i, "intermediate": {...}}`` — the
+    engine's record of the reference's per-iteration scratchpad log.
     """
+    import json
+
     keys = _norm_keys(reduce_key)
     df2, gcols = _prep_groups(df, keys)
     out_struct = (
@@ -134,6 +164,9 @@ def reduce_fold(
     )
     fields = [T.StructField(k, df2.schema[g].dataType, True) for k, g in zip(keys, gcols)]
     fields += [f for f in out_struct.fields if f.name not in keys]
+    inter_col = f"_{name}_intermediates"
+    if persist_intermediates:
+        fields.append(T.StructField(inter_col, T.ArrayType(T.StringType()), True))
     schema = T.StructType(fields)
     key_pairs = list(zip(keys, gcols))
     out_names = [f.name for f in schema.fields]
@@ -141,10 +174,17 @@ def reduce_fold(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         state = dict(init_state or {})
-        for start in range(0, len(pdf), fold_batch_size):
+        inters = []
+        for i, start in enumerate(range(0, len(pdf), fold_batch_size)):
             state = fold_fn(state, pdf.iloc[start : start + fold_batch_size])
+            if persist_intermediates:
+                inters.append(json.dumps(
+                    {"iter": i, "intermediate": state}, sort_keys=True, default=str
+                ))
         row = {k: pdf[g].iloc[0] for k, g in key_pairs}
         row.update(state)
+        if persist_intermediates:
+            row[inter_col] = inters
         return pd.DataFrame([{c: row.get(c) for c in out_names}])
 
     return df2.groupBy(*gcols).applyInPandas(run, schema=schema)

@@ -644,3 +644,43 @@ def test_gather_hierarchical_headers_jvm_matches_reference_fold(spark):
         expected_line = _render_hierarchy_headers(cur, header_lists[: i + 1])
         if expected_line:
             assert expected_line in got2[num], (num, got2[num])
+
+
+def test_code_reduce_lineage(spark, groups_values):
+    # reference reduce.py:359-368 output.lineage: key-projected group
+    # members ride along on the reduced row (sorted by key tuple —
+    # deterministic where the reference's arrival order is not)
+    out = code_reduce(
+        groups_values, "group",
+        lambda g: {"total": int(g["value"].sum())},
+        {"total": "int"},
+        name="r",
+        lineage_keys=["value"],
+    )
+    got = {r["group"]: [m["value"] for m in r["r_lineage"]] for r in out.collect()}
+    assert got == {"A": [10, 15], "B": [20, 25], "C": [30]}
+
+
+def test_reduce_fold_persist_intermediates(spark):
+    # reference reduce.py:391,:540: per-iteration fold states recorded
+    import json
+
+    from docetl_spark.operators import reduce_fold
+
+    df = spark.createDataFrame(
+        [("u", i, float(i)) for i in range(1, 7)], "user string, lsn long, v double"
+    )
+
+    def fold(state, chunk):
+        return {"total": state.get("total", 0.0) + float(chunk["v"].sum())}
+
+    out = reduce_fold(
+        df, "user", fold, {"total": "double"},
+        order_col="lsn", fold_batch_size=2,
+        persist_intermediates=True, name="f",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["total"] == 21.0
+    inters = [json.loads(s) for s in out[0]["_f_intermediates"]]
+    assert [x["iter"] for x in inters] == [0, 1, 2]
+    assert [x["intermediate"]["total"] for x in inters] == [3.0, 10.0, 21.0]
