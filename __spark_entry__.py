@@ -582,6 +582,80 @@ FROM lines
 """
 
 
+def q_extract_reformat_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-numbered reformat CERTIFICATE (reference extract.py:66-117):
+    greedy word-wrap is fully characterized by three properties, checked
+    in-engine per document against a ``SELECT doc_id, true`` oracle —
+    (1) stripping prefixes and joining lines with single spaces restores
+    the whitespace-normalized text, (2) no content line exceeds the
+    width, (3) maximality: pulling the next line's first word up would
+    overflow. Plus the ``%4d: `` prefix shape on every line. (Long-word
+    chunking can't satisfy (1)/(3); testdata's max word is 8 chars, and
+    the long-word path is golden-tested against the reference loop in
+    pytest.)"""
+    from docetl_spark.operators.extract_ops import (
+        _strip_line_number,
+        reformat_with_line_numbers,
+    )
+
+    width = 60
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("_fmt", reformat_with_line_numbers("text", width))
+    lines = F.split(F.col("_fmt"), "\n", -1)
+    stripped = F.transform(lines, _strip_line_number)
+    normalized = F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    nonempty = normalized != ""
+    p_restore = F.array_join(stripped, " ") == normalized
+    p_width = F.forall(stripped, lambda s: F.length(s) <= width)
+    nxt_first = F.transform(
+        F.slice(stripped, 2, F.size(stripped) - 1),
+        lambda s: F.element_at(F.split(s, " "), 1),
+    )
+    p_greedy = F.forall(
+        F.zip_with(
+            F.slice(stripped, 1, F.size(stripped) - 1), nxt_first,
+            lambda cur, w: (F.length(cur) + 1 + F.length(w)) > width,
+        ),
+        lambda x: x,
+    )
+    p_prefix = F.forall(
+        F.zip_with(
+            lines, F.sequence(F.lit(1), F.size(lines)),
+            lambda line, i: F.substring(line, 1, 6) == F.format_string("%4d: ", i),
+        ),
+        lambda x: x,
+    )
+    ok = F.when(nonempty, p_restore & p_width & p_greedy & p_prefix).otherwise(F.col("_fmt") == "")
+    return d.select("doc_id", ok.alias("ok"))
+
+
+ORACLE_EXTRACT_REFORMAT = """
+SELECT doc_id, true AS ok FROM documents
+"""
+
+
+def q_extract_pointer_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full line_number pointer protocol (reference extract.py:119-257):
+    reformat -> regex pointer -> range slice -> strip ->
+    format_extraction. line_width exceeds every document, so the wrap is
+    a single line and the DuckDB oracle reproduces the end-to-end result
+    exactly (multi-line slicing + the ''.join fuse quirk are oracled via
+    the certificate above and golden pytest)."""
+    from docetl_spark.operators.extract_ops import extract_pointer
+
+    docs = _t(spark, sf_dir, "documents")
+    out = extract_pointer(docs, ["text"], pointer_pattern="data|merge", line_width=100_000)
+    return out.select("doc_id", F.col("text_extracted_extract").alias("extracted"))
+
+
+ORACLE_EXTRACT_POINTER = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(regexp_replace(trim(text), '\\s+', ' ', 'g'), 'data|merge')
+            THEN regexp_replace(trim(text), '\\s+', ' ', 'g') ELSE '' END AS extracted
+FROM documents
+"""
+
+
 def q_parsing_fanout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parsing-tool 1->N fan-out (reference dataset.py:241-315): every doc
     row fans into one row per overlapping 20-word window (stride 10),
@@ -1360,6 +1434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unnest_doc_tokens": q_unnest_doc_tokens,
         "extract_regex_docs": q_extract_regex_docs,
         "extract_lines_docs": q_extract_lines_docs,
+        "extract_reformat_cert": q_extract_reformat_cert,
+        "extract_pointer_docs": q_extract_pointer_docs,
         "parsing_fanout_docs": q_parsing_fanout_docs,
         "sample_custom_keys": q_sample_custom_keys,
         "sample_stratified": q_sample_stratified,
@@ -1407,6 +1483,8 @@ def oracle_sql() -> dict[str, str]:
         "unnest_doc_tokens": ORACLE_UNNEST,
         "extract_regex_docs": ORACLE_EXTRACT,
         "extract_lines_docs": ORACLE_EXTRACT_LINES,
+        "extract_reformat_cert": ORACLE_EXTRACT_REFORMAT,
+        "extract_pointer_docs": ORACLE_EXTRACT_POINTER,
         "parsing_fanout_docs": ORACLE_PARSING,
         "sample_custom_keys": ORACLE_SAMPLE_CUSTOM,
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,

@@ -13,8 +13,196 @@ from __future__ import annotations
 
 from typing import Iterable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _reformat_python(text: str, line_width: int = 80) -> str:
+    """Reference extract.py:66-117 ``_reformat_text_with_line_numbers``,
+    verbatim semantics — the executable spec the Column fold below
+    replicates (tests golden-check the two against each other)."""
+    if not text:
+        return ""
+    words = text.split()
+    lines: list[str] = []
+    current_line: list[str] = []
+    current_length = 0
+    for word in words:
+        if current_length + len(word) + (1 if current_line else 0) > line_width:
+            if current_line:
+                lines.append(" ".join(current_line))
+                current_line = []
+                current_length = 0
+            if len(word) > line_width:
+                for i in range(0, len(word), line_width):
+                    lines.append(word[i : i + line_width])
+            else:
+                current_line.append(word)
+                current_length = len(word)
+        else:
+            if current_line:
+                current_length += 1 + len(word)
+            else:
+                current_length = len(word)
+            current_line.append(word)
+    if current_line:
+        lines.append(" ".join(current_line))
+    return "\n".join(f"{i+1:4d}: {line}" for i, line in enumerate(lines))
+
+
+def reformat_with_line_numbers(text: Column | str, line_width: int = 80) -> Column:
+    """The pointer protocol's first stage (extract.py:66-117): word-wrap
+    the document at ``line_width`` (words longer than the width split into
+    width-sized chunks on their own lines) and prefix every line with
+    ``%4d: ``. Pure Column fold — the per-word lambda is interpreted, but
+    word counts per document are small (unlike the per-dim vector folds
+    that moved to Arrow UDFs)."""
+    c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+    empty_lines = F.array().cast("array<string>")
+
+    def state(lines, cur):
+        return F.struct(lines.alias("lines"), cur.alias("cur"))
+
+    def step(acc, w):
+        lines, cur = acc["lines"], acc["cur"]
+        sep = F.when(cur != "", F.lit(1)).otherwise(F.lit(0))
+        overflow = (F.length(cur) + F.length(w) + sep) > line_width
+        flushed = F.when(cur != "", F.concat(lines, F.array(cur))).otherwise(lines)
+        n_chunks = F.floor((F.length(w) - 1) / line_width).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks),
+            lambda i: F.substring(w, i * line_width + 1, line_width),
+        )
+        long_word = F.length(w) > line_width
+        return (
+            F.when(~overflow, state(lines, F.when(cur == "", w).otherwise(F.concat(cur, F.lit(" "), w))))
+            .when(long_word, state(F.concat(flushed, chunks), F.lit("")))
+            .otherwise(state(flushed, w))
+        )
+
+    folded = F.aggregate(
+        words,
+        state(empty_lines, F.lit("")),
+        step,
+        lambda acc: F.when(acc["cur"] != "", F.concat(acc["lines"], F.array(acc["cur"]))).otherwise(acc["lines"]),
+    )
+    numbered = F.transform(
+        folded, lambda line, i: F.concat(F.format_string("%4d: ", i + F.lit(1)), line)
+    )
+    return F.when(F.length(c) == 0, F.lit("")).otherwise(F.array_join(numbered, "\n"))
+
+
+def _strip_line_number(line: Column) -> Column:
+    """Reference extract.py:247-250: drop everything through the FIRST
+    ``": "`` (the number prefix always contains one)."""
+    loc = F.locate(": ", line)
+    return F.when(loc > 0, F.substring(line, loc + 2, F.length(line))).otherwise(line)
+
+
+def point_lines_regex(formatted: Column | str, pattern: str) -> Column:
+    """Deterministic pointer stage: 1-based numbers of formatted lines
+    whose CONTENT (prefix stripped) matches ``pattern``, merged into
+    contiguous ``array<struct<start_line:int, end_line:int>>`` ranges —
+    the drop-in stand-in for the reference's LLM pointer
+    (extract.py:152-199 asks the model for exactly this shape; an
+    LLM-backed pointer plugs into ``extract_pointer`` the same way)."""
+    fc = F.col(formatted) if isinstance(formatted, str) else formatted
+    lines = F.split(fc, "\n", -1)
+    hits = F.filter(
+        F.transform(
+            lines,
+            lambda line, i: F.when(
+                _strip_line_number(line).rlike(pattern), i + F.lit(1)
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x > 0,
+    )
+    empty = F.array().cast("array<struct<start_line:int,end_line:int>>")
+
+    def rng(s, e):
+        return F.struct(s.cast("int").alias("start_line"), e.cast("int").alias("end_line"))
+
+    return F.aggregate(
+        hits,
+        empty,
+        lambda acc, i: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1)["end_line"] == i - 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(rng(F.element_at(acc, -1)["start_line"], i)),
+            ),
+        ).otherwise(F.concat(acc, F.array(rng(i, i)))),
+    )
+
+
+def extract_by_line_ranges(
+    formatted: Column | str,
+    ranges: Column | str,
+    skip_on_error: bool = True,
+) -> Column:
+    """Slice stage (extract.py:216-250): for each pointed range, take the
+    formatted lines start..end inclusive, strip the number prefixes and
+    concatenate them with NO separator (the reference's ``"".join`` —
+    words wrapped across lines fuse, reproduced exactly). Invalid ranges
+    are skipped (``skip_on_error``, the default) or clamped into bounds.
+    Returns ``array<string>``, one element per surviving range."""
+    fc = F.col(formatted) if isinstance(formatted, str) else formatted
+    rc = F.col(ranges) if isinstance(ranges, str) else ranges
+    lines = F.split(fc, "\n", -1)
+    n = F.size(lines)
+
+    def slice_range(s, e):
+        return F.array_join(
+            F.transform(F.slice(lines, s, e - s + 1), _strip_line_number), ""
+        )
+
+    if skip_on_error:
+        valid = F.filter(
+            rc, lambda r: (r["start_line"] >= 1) & (r["end_line"] >= r["start_line"]) & (r["end_line"] <= n)
+        )
+        return F.transform(valid, lambda r: slice_range(r["start_line"], r["end_line"]))
+    clamped_s = lambda r: F.greatest(F.lit(1), F.least(r["start_line"], n))
+    return F.transform(
+        rc,
+        lambda r: slice_range(
+            clamped_s(r), F.greatest(clamped_s(r), F.least(r["end_line"], n))
+        ),
+    )
+
+
+def format_extraction(extracted: Column, as_text: bool = True) -> Column:
+    """Reference extract.py:452-471: drop empties, dedup preserving first
+    occurrence, then join with blank lines (``format_extraction: true``)
+    or keep the list."""
+    deduped = F.array_distinct(F.filter(extracted, lambda x: x != ""))
+    return F.array_join(deduped, "\n\n") if as_text else deduped
+
+
+def extract_pointer(
+    df: DataFrame,
+    document_keys: Iterable[str],
+    pointer_pattern: str,
+    name: str = "extract",
+    line_width: int = 80,
+    as_text: bool = True,
+    skip_on_error: bool = True,
+) -> DataFrame:
+    """The full line_number strategy (extract.py:119-257): reformat with
+    line numbers -> pointer emits ranges -> slice + strip -> dedup/join.
+    ``pointer_pattern`` drives the deterministic regex pointer; swap
+    ``point_lines_regex`` for an LLM-backed stage (through
+    cdc.middleware) without touching the rest of the pipeline."""
+    for key in document_keys:
+        fmt = reformat_with_line_numbers(key, line_width)
+        df = df.withColumn(f"_fmt_{key}", fmt)
+        ranges = point_lines_regex(f"_fmt_{key}", pointer_pattern)
+        extracted = extract_by_line_ranges(f"_fmt_{key}", ranges, skip_on_error=skip_on_error)
+        df = df.withColumn(
+            f"{key}_extracted_{name}", format_extraction(extracted, as_text=as_text)
+        ).drop(f"_fmt_{key}")
+    return df
 
 
 def extract_regex(

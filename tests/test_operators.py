@@ -684,3 +684,83 @@ def test_reduce_fold_persist_intermediates(spark):
     inters = [json.loads(s) for s in out[0]["_f_intermediates"]]
     assert [x["iter"] for x in inters] == [0, 1, 2]
     assert [x["intermediate"]["total"] for x in inters] == [3.0, 10.0, 21.0]
+
+
+def test_extract_pointer_protocol_golden(spark):
+    # reference extract.py:66-117 reformat + :216-250 slice/strip semantics,
+    # golden-checked against the verbatim python mirror — including
+    # long-word chunking and the ''.join fuse quirk
+    from docetl_spark.operators.extract_ops import (
+        _reformat_python,
+        extract_pointer,
+        reformat_with_line_numbers,
+    )
+
+    texts = [
+        "",
+        "one tiny line",
+        "alpha beta gamma delta " * 20,
+        "head " + "Z" * 95 + " tail tail2",
+        "padpad match-me pad " * 6,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    fmt = {r["id"]: r["f"] for r in df.select("id", reformat_with_line_numbers("text", 30).alias("f")).collect()}
+    for i, t in enumerate(texts):
+        assert fmt[i] == _reformat_python(t, 30), i
+
+    out = extract_pointer(df, ["text"], pointer_pattern="match-me|gamma", line_width=30)
+    got = {r["id"]: r["text_extracted_extract"] for r in out.collect()}
+
+    # python mirror of point->slice->format over the same formatted text
+    def mirror(t):
+        formatted = _reformat_python(t, 30)
+        lines = formatted.split("\n")
+        import re
+        hits = [i + 1 for i, line in enumerate(lines)
+                if re.search("match-me|gamma", line.split(": ", 1)[1] if ": " in line else line)]
+        ranges, start = [], None
+        for h in hits:
+            if start is None:
+                start = prev = h
+            elif h == prev + 1:
+                prev = h
+            else:
+                ranges.append((start, prev)); start = prev = h
+        if start is not None:
+            ranges.append((start, prev))
+        texts_out = []
+        for s, e in ranges:
+            content = [line.split(": ", 1)[1] if ": " in line else line for line in lines[s - 1 : e]]
+            texts_out.append("".join(content))
+        deduped = []
+        for x in texts_out:
+            if x and x not in deduped:
+                deduped.append(x)
+        return "\n\n".join(deduped)
+
+    for i, t in enumerate(texts):
+        assert got[i] == mirror(t), (i, got[i], mirror(t))
+
+
+def test_extract_by_line_ranges_validation(spark):
+    # invalid ranges skip (default) or clamp (skip_on_error=False),
+    # reference extract.py:227-238
+    from pyspark.sql import functions as F
+
+    from docetl_spark.operators.extract_ops import (
+        extract_by_line_ranges,
+        reformat_with_line_numbers,
+    )
+
+    df = spark.createDataFrame([("aaa bbb ccc ddd eee",)], "text string")
+    d = df.withColumn("f", reformat_with_line_numbers("text", 7))
+    ranges = F.expr(
+        "array(named_struct('start_line', 0, 'end_line', 1),"
+        "      named_struct('start_line', 2, 'end_line', 9),"
+        "      named_struct('start_line', 1, 'end_line', 2))"
+    )
+    skipped = d.select(extract_by_line_ranges("f", ranges).alias("x")).first()["x"]
+    assert skipped == ["aaa bbbccc ddd"]  # only the valid range survives
+    clamped = d.select(extract_by_line_ranges("f", ranges, skip_on_error=False).alias("x")).first()["x"]
+    # (0,1)->(1,1); (2,9)->(2,3); (1,2) valid
+    assert clamped == ["aaa bbb", "ccc dddeee", "aaa bbbccc ddd"]
