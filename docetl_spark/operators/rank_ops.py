@@ -390,3 +390,10 @@ def rank_calibrated(
         df2, score=score, direction="asc", name=name, k=k,
         tiebreak_cols=tiebreak_cols, **rank_kwargs,
     )
+
+
+def head_picker(window: pd.DataFrame, n: int) -> list[int]:
+    """Identity picker — keeps the window's existing order (exactly the
+    reference's fallback when an LLM pick response can't be parsed,
+    rank.py:972-986). Useful as the no-op default in configs and tests."""
+    return list(range(min(n, len(window))))

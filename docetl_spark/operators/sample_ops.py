@@ -142,16 +142,52 @@ def topk(
     query: str | None = None,
     name: str = "topk",
     tiebreak_cols: Sequence[str] | None = None,
+    # llm_compare facade (topk.py:182-235): picker-refined rank head-k
+    picker=None,
+    rerank_call_budget: int = 100,
+    num_top_items_per_window: int = 3,
+    overlap_fraction: float = 0.5,
+    initial_method: str | None = None,
 ) -> DataFrame:
     """Top-k rows by a score (topk.py:12-235 facade).
 
     Methods: ``score`` (existing column/expression), ``embedding``
     (cosine similarity to ``query_vec``), ``fts`` (deterministic tf-based
-    text relevance — see functions.text.fts_score). Adds ``_{name}_rank``
-    and ``_{name}_score``; fractional k = ceil(fraction * rows per stratum).
-    Implemented as rank-over-window ≤ k: one shuffle, no global sort when
-    stratified.
+    text relevance — see functions.text.fts_score), ``llm_compare``
+    (delegates to the rank operator exactly like the reference facade
+    topk.py:182-235: initial ordering from ``initial_method`` — one of
+    score/embedding/fts, the reference hardwires embedding — refined by
+    the picky-window ``picker`` under ``rerank_call_budget`` calls
+    [default 100, topk.py:214], head-k returned; fractional k =
+    ``int(k * count)``, topk.py:206-210,:232-234). Adds ``_{name}_rank``
+    and ``_{name}_score``; fractional k = ceil(fraction * rows per
+    stratum) for the sampling methods. Implemented as rank-over-window
+    ≤ k: one shuffle, no global sort when stratified.
     """
+    if method == "llm_compare":
+        from docetl_spark.operators.rank_ops import rank
+
+        if stratify_key:
+            # RankOperation has no stratified mode; the reference facade
+            # would silently drop the key — fail loudly instead
+            raise ValueError("llm_compare does not support stratify_key")
+        base = initial_method or ("embedding" if embedding_col else "fts" if text_col else "score")
+        if base == "embedding":
+            initial = cosine_sim_col(embedding_col, list(query_vec))
+        elif base == "fts":
+            from docetl_spark.functions.text import fts_score
+
+            initial = fts_score(F.col(text_col), query)
+        else:
+            initial = F.col(score_col) if isinstance(score_col, str) else score_col
+        kk = int(k) if not (isinstance(k, float) and 0 < k < 1) else max(1, int(k * df.count()))
+        return rank(
+            df, score=initial, direction="desc", name=name, k=kk,
+            picker=picker, rerank_call_budget=rerank_call_budget,
+            num_top_items_per_window=num_top_items_per_window,
+            overlap_fraction=overlap_fraction,
+            tiebreak_cols=list(tiebreak_cols) if tiebreak_cols else None,
+        )
     if method == "score":
         score = F.col(score_col) if isinstance(score_col, str) else score_col
     elif method == "embedding":

@@ -60,6 +60,16 @@ def _op_scan(spark: SparkSession, datasets: dict, cfg: dict) -> DataFrame:
     return df
 
 
+def _load_callable(dotted: str):
+    """Resolve ``pkg.module:attr`` (or ``pkg.module.attr``) to a callable —
+    how YAML configs reference pickers/raters (the deterministic stand-ins
+    for LLM comparators; an LLM-backed one is just another module path)."""
+    import importlib
+
+    mod, _, attr = dotted.replace(":", ".").rpartition(".")
+    return getattr(importlib.import_module(mod), attr)
+
+
 def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> DataFrame:
     """One operator application. op names mirror the reference inventory
     (docetl/operations/__init__.py:20-41); deterministic configs only."""
@@ -107,6 +117,11 @@ def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> 
             direction=cfg.get("direction", "desc"),
             text_col=cfg.get("text_col"), query=cfg.get("query"),
             stratify_key=cfg.get("stratify_key"), name=cfg.get("name", "topk"),
+            # llm_compare facade: YAML configs name a registered picker by
+            # dotted path (deterministic stand-in for the LLM comparator)
+            picker=_load_callable(cfg["picker"]) if "picker" in cfg else None,
+            rerank_call_budget=cfg.get("rerank_call_budget", 100),
+            initial_method=cfg.get("initial_method"),
         )
     if op == "reduce":  # code_reduce with SQL aggregate expressions
         keys = cfg["reduce_key"]

@@ -764,3 +764,54 @@ def test_extract_by_line_ranges_validation(spark):
     clamped = d.select(extract_by_line_ranges("f", ranges, skip_on_error=False).alias("x")).first()["x"]
     # (0,1)->(1,1); (2,9)->(2,3); (1,2) valid
     assert clamped == ["aaa bbb", "ccc dddeee", "aaa bbbccc ddd"]
+
+
+def test_topk_llm_compare_facade(spark):
+    # reference topk.py:182-235: llm_compare delegates to rank with the
+    # query criteria as initial ordering, picky-window refinement, head-k;
+    # fractional k = int(k * len)
+    from docetl_spark.operators.rank_ops import head_picker, rank
+
+    df = spark.createDataFrame([(i, float(i % 13)) for i in range(60)], "id long, s double")
+    via_topk = topk(df, k=10, method="llm_compare", score_col="s", name="t",
+                    picker=head_picker, tiebreak_cols=["id"])
+    via_rank = rank(df, score=F.col("s"), direction="desc", name="t", k=10,
+                    picker=head_picker, rerank_call_budget=100, tiebreak_cols=["id"])
+    assert [r["id"] for r in via_topk.orderBy("_t_rank").collect()] == [
+        r["id"] for r in via_rank.orderBy("_t_rank").collect()
+    ]
+    # fractional k: int(0.25 * 60) = 15 rows
+    frac = topk(df, k=0.25, method="llm_compare", score_col="s", name="t",
+                picker=head_picker, tiebreak_cols=["id"])
+    assert frac.count() == 15
+    with pytest.raises(ValueError, match="stratify_key"):
+        topk(df, k=5, method="llm_compare", score_col="s", stratify_key="id", picker=head_picker)
+
+
+def test_pipeline_topk_llm_compare_yaml(spark, tmp_path):
+    import os
+
+    import yaml
+
+    from docetl_spark.plans.pipeline import Pipeline
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(sf_dir, "documents.parquet")}},
+        "steps": [{
+            "name": "s1", "input": "docs", "operations": [
+                {"op": "topk", "method": "llm_compare", "k": 5,
+                 "score": "n_chars", "name": "t",
+                 "picker": "docetl_spark.operators.rank_ops:head_picker",
+                 "rerank_call_budget": 4},
+            ],
+        }],
+    }
+    p = str(tmp_path / "p.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = Pipeline.from_yaml(p).run(spark)
+    rows = out.orderBy("_t_rank").collect()
+    assert len(rows) == 5
+    chars = [r["n_chars"] for r in rows]
+    assert chars == sorted(chars, reverse=True)
