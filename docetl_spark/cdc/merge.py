@@ -119,6 +119,65 @@ def dedup_last_writer(
     return won.select(*out_cols)
 
 
+@dataclass
+class PrecomputedStats:
+    """Phase-1 per-bucket stats computed AHEAD of the merge (see
+    ``replay_events`` pipelining): the stats job reads only the batch —
+    never table state — so it can run concurrently with the previous
+    batch's write job. The fingerprint pins the bucket function the rows
+    were computed under; a mismatch (rebucket / key evolution between
+    batches) makes the merge recompute inline instead."""
+
+    batch_id: int
+    key_cols: tuple
+    num_buckets: int
+    rows: list
+
+
+def compute_batch_stats(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    stages: Iterable[TransformStage] = (),
+) -> PrecomputedStats:
+    """Run the phase-1 winning-key/per-bucket stats job for ``batch``
+    against the CURRENT snapshot's bucket function. Pure batch-side: safe
+    to run while an earlier batch is still committing."""
+    snap = table.snapshot()
+    for stage in stages:
+        batch = stage(batch)
+    wk = _winning_keys(batch, snap.key_cols)
+    rows = _per_bucket_stats(wk, table, snap).collect()
+    return PrecomputedStats(
+        batch_id=batch_id, key_cols=tuple(snap.key_cols),
+        num_buckets=snap.num_buckets, rows=rows,
+    )
+
+
+def _winning_keys(batch: DataFrame, key_cols: list[str]) -> DataFrame:
+    return batch.groupBy(*key_cols).agg(
+        F.max("lsn").alias("lsn"),
+        F.count(F.lit(1)).alias("_events"),
+        F.count_distinct("lsn").alias("_nlsn"),
+        F.max_by("op", "lsn").alias("_op"),
+    )
+
+
+def _per_bucket_stats(wk: DataFrame, table: LakeTable, snap: Snapshot) -> DataFrame:
+    return (
+        wk.withColumn("_bucket", table.bucket_expr(snap))
+        .groupBy("_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.sum("_events").alias("events"),
+            F.sum((F.col("_op") == "D").cast("long")).alias("dels"),
+            F.sum((F.col("_events") != F.col("_nlsn")).cast("long")).alias("dup_lsn_keys"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+        )
+    )
+
+
 def merge_apply(
     spark: SparkSession,
     table: LakeTable,
@@ -131,6 +190,7 @@ def merge_apply(
     winner_stages: Iterable[TransformStage] = (),
     mode: str = "cow",
     conflict_retries: int = 0,
+    precomputed: PrecomputedStats | None = None,
 ) -> MergeMetrics:
     """Apply one microbatch of change events to ``table``.
 
@@ -147,12 +207,13 @@ def merge_apply(
             return _merge_apply_once(
                 spark, table, batch, batch_id, stages=stages, fence_prop=fence_prop,
                 broadcast_key_limit=broadcast_key_limit, strict_lww_ties=strict_lww_ties,
-                winner_stages=winner_stages, mode=mode,
+                winner_stages=winner_stages, mode=mode, precomputed=precomputed,
             )
         except CommitConflict:
             if attempt >= conflict_retries:
                 raise
             attempt += 1
+            precomputed = None  # stale after a concurrent commit
 
 
 def _merge_apply_once(
@@ -166,6 +227,7 @@ def _merge_apply_once(
     strict_lww_ties: bool = False,
     winner_stages: Iterable[TransformStage] = (),
     mode: str = "cow",
+    precomputed: PrecomputedStats | None = None,
 ) -> MergeMetrics:
     """One merge attempt (see ``merge_apply``).
 
@@ -242,30 +304,25 @@ def _merge_apply_once(
     # it is persisted below ONLY if the merge actually reuses it (current
     # state exists), since on an initial load pinning millions of winner
     # keys in the memory store is pure churn.
-    wk = batch.groupBy(*key_cols).agg(
-        F.max("lsn").alias("lsn"),
-        F.count(F.lit(1)).alias("_events"),
-        F.count_distinct("lsn").alias("_nlsn"),
-        F.max_by("op", "lsn").alias("_op"),
-    )
+    wk = _winning_keys(batch, key_cols)
     persisted = []
     try:
         # One collect serves both lineage stats and the affected-bucket
         # list: per-bucket partials (<= num_buckets rows) combined driver
         # side. Fewer jobs per batch = less serial floor per microbatch.
-        per_bucket = (
-            wk.withColumn("_bucket", table.bucket_expr(snap_for_bucket))
-            .groupBy("_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("keys"),
-                F.sum("_events").alias("events"),
-                F.sum((F.col("_op") == "D").cast("long")).alias("dels"),
-                F.sum((F.col("_events") != F.col("_nlsn")).cast("long")).alias("dup_lsn_keys"),
-                F.min("lsn").alias("min_lsn"),
-                F.max("lsn").alias("max_lsn"),
-            )
-            .collect()
-        )
+        # A valid PrecomputedStats (same bucket function, same batch —
+        # see replay_events' stats-ahead pipelining) skips the collect
+        # entirely: its job already ran overlapped with the previous
+        # batch's write.
+        if (
+            precomputed is not None
+            and precomputed.batch_id == batch_id
+            and precomputed.key_cols == tuple(key_cols)
+            and precomputed.num_buckets == snap.num_buckets
+        ):
+            per_bucket = precomputed.rows
+        else:
+            per_bucket = _per_bucket_stats(wk, table, snap_for_bucket).collect()
         bucket_counts = {r["_bucket"]: r["keys"] for r in per_bucket}
         n_keys = sum(bucket_counts.values())
         n_del = int(sum(r["dels"] for r in per_bucket))

@@ -166,14 +166,41 @@ def replay_events(
     else:
         batch_ids = sorted(b for b in batch_ids if b > last_applied)
     out: list[MergeMetrics] = []
-    for i, bid in enumerate(batch_ids, start=1):
-        m = merge_apply(spark, table, events.filter(F.col(batch_col) == bid), int(bid),
-                        stages=stages, winner_stages=winner_stages, mode=mode)
-        out.append(m)
-        if metrics_path:
-            os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(m.to_dict()) + "\n")
-        if compact_every and i % compact_every == 0:
-            compact_state(spark, table)
+    # Stats-ahead pipelining: batch i+1's phase-1 stats job reads only its
+    # own events slice — never table state — so it runs in a helper thread
+    # WHILE batch i's write job executes, hiding one of the two serial
+    # jobs per micro-batch. merge_apply validates the prefetch against its
+    # own snapshot (bucket function fingerprint + batch id) and silently
+    # recomputes if a compaction/rebucket between batches invalidated it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from docetl_spark.cdc.merge import compute_batch_stats
+
+    def batch_df(bid):
+        return events.filter(F.col(batch_col) == bid)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        for i, bid in enumerate(batch_ids, start=1):
+            pre = None
+            if fut is not None:
+                try:
+                    pre = fut.result()
+                except Exception:
+                    pre = None  # prefetch is an optimization, never a failure
+            if i < len(batch_ids):
+                nxt = batch_ids[i]
+                fut = pool.submit(compute_batch_stats, table, batch_df(nxt), int(nxt), stages)
+            else:
+                fut = None
+            m = merge_apply(spark, table, batch_df(bid), int(bid),
+                            stages=stages, winner_stages=winner_stages, mode=mode,
+                            precomputed=pre)
+            out.append(m)
+            if metrics_path:
+                os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(m.to_dict()) + "\n")
+            if compact_every and i % compact_every == 0:
+                compact_state(spark, table)
     return out

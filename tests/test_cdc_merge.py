@@ -466,3 +466,29 @@ def test_commit_conflict_retries_against_fresh_state(spark, tmp_path, events):
     # end state unchanged by all the racing
     want = final_state_oracle(events.filter("batch_id <= 1"))
     assert state_hashes(read_state(spark, table)) == state_hashes(want)
+
+
+def test_precomputed_stats_fingerprint_fallback(spark, tmp_path):
+    # a stale prefetch (wrong batch / changed bucket fn) must be ignored,
+    # not trusted — same final state either way
+    from docetl_spark.cdc import create_cdc_table, read_state
+    from docetl_spark.cdc.merge import PrecomputedStats, compute_batch_stats, merge_apply
+
+    path = str(tmp_path / "t")
+    table = create_cdc_table(path, ["k"], num_buckets=4)
+    b0 = spark.createDataFrame(
+        [(1, "U", "a", 10.0), (2, "U", "b", 20.0)], "lsn long, op string, k string, v double"
+    )
+    pre = compute_batch_stats(table, b0, 0)
+    assert pre.batch_id == 0 and pre.num_buckets == 4
+    m = merge_apply(spark, table, b0, 0, precomputed=pre)
+    assert m.keys_in_batch == 2 and not m.skipped
+
+    b1 = spark.createDataFrame(
+        [(3, "U", "a", 11.0), (4, "D", "b", 0.0)], "lsn long, op string, k string, v double"
+    )
+    stale = PrecomputedStats(batch_id=99, key_cols=("k",), num_buckets=4, rows=[])
+    m1 = merge_apply(spark, table, b1, 1, precomputed=stale)  # ignored -> recomputed
+    assert m1.keys_in_batch == 2 and m1.deletes == 1
+    got = {r["k"]: r["v"] for r in read_state(spark, table).collect()}
+    assert got == {"a": 11.0}
