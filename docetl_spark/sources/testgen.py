@@ -68,14 +68,21 @@ def gen_change_events(
     )
 
 
-def final_state_oracle(events: DataFrame) -> DataFrame:
+def final_state_oracle(
+    events: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit")
+) -> DataFrame:
     """Reference final state: per key, the max-LSN event wins; D -> absent.
 
     Pure declarative SQL (window-free struct-max aggregate) so it runs
-    identically in Spark and DuckDB for cross-checks.
+    identically in Spark and DuckDB for cross-checks. ``key_cols`` MUST
+    match the lake table's merge key: resolving on a coarser key (e.g.
+    (repo, path) while the oracle keeps per-commit rows) silently compares
+    different semantics — distinct commits collide on (repo, path) and the
+    engine rightly LWWs them into one row.
     """
-    payload = [c for c in events.columns if c not in ("repo", "path", "commit")]
+    key_cols = list(key_cols)
+    payload = [c for c in events.columns if c not in key_cols]
     packed = F.struct(*[F.col(c) for c in ["lsn"] + [c for c in payload if c != "lsn"]])
-    won = events.groupBy("repo", "path", "commit").agg(F.max(packed).alias("w"))
-    out = won.select("repo", "path", "commit", *[F.col(f"w.{c}").alias(c) for c in ["lsn"] + [c for c in payload if c != "lsn"]])
+    won = events.groupBy(*key_cols).agg(F.max(packed).alias("w"))
+    out = won.select(*key_cols, *[F.col(f"w.{c}").alias(c) for c in ["lsn"] + [c for c in payload if c != "lsn"]])
     return out.filter(F.col("op") != "D").drop("op", "batch_id")

@@ -20,7 +20,11 @@ sys.path.insert(0, ".")
 
 # Queries where a global (unpartitioned) window or global sort is the
 # intended semantics (total ordering / global top-k over a small result).
-GLOBAL_ORDER_OK = {"tpch_q3_top10", "rank_docs", "topk_fts_docs", "knn_cosine_top5", "knn_lsh_top5"}
+GLOBAL_ORDER_OK = {
+    "tpch_q3_top10", "rank_docs", "topk_fts_docs", "knn_cosine_top5", "knn_lsh_top5",
+    # global top-k: the rank window runs over the <= k post-limit slice
+    "rank_likert_docs", "rank_calibrated_docs",
+}
 # Queries whose core is a deliberate pairwise candidate generation or a
 # documented brute-force baseline (the scale path is the LSH variant):
 # brute kNN = broadcast nested loop of a handful of query vectors, exact
@@ -28,6 +32,9 @@ GLOBAL_ORDER_OK = {"tpch_q3_top10", "rank_docs", "topk_fts_docs", "knn_cosine_to
 CROSS_OK = {
     "link_resolve_repair",
     "knn_cosine_top5",
+    # the recall certificate scores one shared brute frame (broadcast
+    # nested loop of 5 query vectors) that both rankings derive from
+    "knn_lsh_top5",
     "near_dup_embedding_exact",
     "near_dup_unigram_jaccard",
     # exact cosine blocking = the reference's own brute blocking phase
