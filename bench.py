@@ -60,6 +60,13 @@ HEADLINE = [
     "lang_id_docs",
     "knn_lsh_top5",
     "multimodal_features",
+    # round-3 surface
+    "rank_likert_docs",
+    "rank_calibrated_docs",
+    "gather_hierarchy_docs",
+    "reduce_lineage_docs",
+    "extract_reformat_cert",
+    "extract_pointer_docs",
 ]
 
 
