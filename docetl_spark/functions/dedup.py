@@ -5,14 +5,17 @@ Five strategies, all shuffle-lean and expressible as Spark plans:
 * ``exact_dedup``        — fingerprint groupBy (one shuffle, map-side combine)
 * ``minhash_signature``  + ``minhash_lsh_pairs`` — shingle -> minhash ->
   banded LSH bucket join -> signature-similarity verify (the standard
-  MinHashLSH pipeline; signatures are pure Column expressions:
-  ``array_min(transform(shingles, xxhash64(...)))`` per permutation)
+  MinHashLSH pipeline; shingling + signatures are zero-copy Arrow numpy
+  kernels — the Column-expression forms are interpreted HOFs, see
+  functions/vectors.py for the measurement)
 * ``simhash``            — 64-bit simhash via a vectorized numpy pandas UDF
   (bit-vote matrix math; built-ins can't express per-bit votes cleanly)
 * ``ngram_jaccard_pairs``— exact Jaccard over shingle sets for candidate
   pairs (array_intersect/array_union)
 * ``embedding_dup_pairs``— cosine near-duplicates via seeded random-
   hyperplane LSH buckets + exact cosine verify
+* ``embedding_pairs_brute`` — broadcast-matrix exact all-pairs baseline
+  (recall-contract oracle side; guarded to broadcastable sizes)
 
 Near-dup *removal* composes any pair generator with
 ``resolve_ops.connected_components`` and keeps each component's min id —
@@ -45,34 +48,97 @@ def exact_dedup(df: DataFrame, text_col: str, normalize: bool = True) -> DataFra
 # -- shingles / minhash -------------------------------------------------------
 
 def shingles(text: Column | str, n: int = 3, max_shingles: int = 512) -> Column:
-    """Word n-gram shingles (lowercased), capped for bounded signatures."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    toks = F.slice(toks, 1, max_shingles + n)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+    """Word n-gram shingles (lowercased), capped for bounded signatures;
+    first-occurrence order, exactly the v1 Column-expression semantics
+    (tokens -> slice cap -> n-gram joins -> distinct-keep-first).
+
+    Arrow UDF: the Column form (transform/slice/array_join/array_distinct
+    under a sequence) is all higher-order functions — CodegenFallback,
+    interpreted per shingle — and measured ~6s alone over 5k docs at
+    sf0.1 where the python-per-doc kernel takes well under 1s."""
+    import pyarrow as pa
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    @arrow_udf(T.ArrayType(T.StringType()), ArrowUDFType.SCALAR)
+    def _sh(texts: pa.Array) -> pa.Array:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        values: list[str] = []
+        offs = np.empty(len(texts) + 1, dtype=np.int64)
+        offs[0] = 0
+        for i in range(len(texts)):
+            t = texts[i].as_py()
+            sh = _py_shingles(t if t is not None else "", n, max_shingles)
+            values.extend(sh)
+            offs[i + 1] = len(values)
+        return pa.LargeListArray.from_arrays(
+            pa.array(offs), pa.array(values, type=pa.string())
+        )
+
+    return _sh(F.col(text) if isinstance(text, str) else text)
+
+
+_MAX_SHINGLES = 512
+
+
+def _py_shingles(text: str, n: int, max_shingles: int = _MAX_SHINGLES) -> list:
+    """The shingle kernel shared by ``shingles`` and ``minhash_signature``
+    (lowercased whitespace tokens, cap at max_shingles+n, n-gram joins,
+    distinct keeping first occurrence — byte-equal to the original
+    Column-expression semantics)."""
+    toks = [t.lower() for t in (text or "").strip().split()][: max_shingles + n]
+    m = max(len(toks) - n + 1, 1)
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(m)))
 
 
 def minhash_signature(text: Column | str, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """Array of ``num_hashes`` min-hashes — one seeded xxhash64 family per
-    permutation, min over the shingle set. Pure codegen.
+    """Array of ``num_hashes`` min-hashes over the word-shingle set.
 
-    Single-pass fold: the shingle array is referenced ONCE and each
-    shingle contributes all ``num_hashes`` seeded hashes into an
-    elementwise-min accumulator. (The naive form — num_hashes separate
-    ``array_min(transform(shingles, ...))`` columns — re-evaluates the
-    shingle construction per hash when common-subexpression elimination
-    doesn't catch it, a num_hashes× blowup.)"""
-    sh = shingles(text, n=shingle_n)
-    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
-    return F.aggregate(
-        sh,
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)]),
-            lambda a, h: F.least(a, h),
-        ),
-    )
+    Arrow UDF kernel: one md5 per shingle (deterministic across
+    processes, same primitive as simhash) expanded into ``num_hashes``
+    seeded splitmix64 mixes vectorized in numpy, elementwise-min per doc.
+    History: the v1 per-hash ``array_min(transform(...))`` columns were a
+    num_hashes× expression blowup; the v2 single-pass zip_with fold fixed
+    that but Spark higher-order functions are CodegenFallback —
+    ~shingles×num_hashes interpreted lambda evals per doc dominated the
+    LSH pipeline (see functions/vectors.py for the same finding). The
+    signature family only feeds banding + signature-agreement estimates;
+    the near-dup CONTRACT verifies candidates with exact n-gram jaccard,
+    so the family swap cannot change verified results — only recall,
+    which the recall contract pins."""
+    import hashlib
+
+    import pyarrow as pa
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    # fixed seed constants; splitmix64 gives 64 well-mixed independent bits
+    seeds = (np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    @arrow_udf(T.ArrayType(T.LongType()), ArrowUDFType.SCALAR)
+    def _sig(texts: pa.Array) -> pa.Array:
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_rows = len(texts)
+        out = np.empty((n_rows, num_hashes), dtype=np.uint64)
+        for i in range(n_rows):
+            t = texts[i].as_py()
+            sh = _py_shingles(t if t is not None else "", shingle_n)
+            bases = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little") for s in sh),
+                dtype=np.uint64, count=len(sh),
+            )
+            out[i] = _mix(bases[:, None] ^ seeds[None, :]).min(axis=0)
+        flat = out.view(np.int64).ravel()
+        offsets = pa.array(np.arange(0, (n_rows + 1) * num_hashes, num_hashes, dtype=np.int64))
+        return pa.LargeListArray.from_arrays(offsets, pa.array(flat, type=pa.int64()))
+
+    return _sig(F.col(text) if isinstance(text, str) else text)
 
 
 def minhash_lsh_pairs(
@@ -178,10 +244,15 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, threshold: float = 0.5,
-    candidates: DataFrame | None = None, num_hashes: int = 32, bands: int = 8,
+    candidates: DataFrame | None = None, num_hashes: int = 32, bands: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard (array_intersect/array_union) over candidate
-    pairs (from MinHash LSH unless given)."""
+    pairs (from MinHash LSH unless given).
+
+    Default banding is (b=16, r=2): the LSH S-curve midpoint is
+    j* ~ (1/b)^(1/r) = 0.25, the right blocking operating point for
+    verify thresholds >= 0.5 (the old (8,4) default had j* ~ 0.59 — a
+    true j=0.67 pair missed ALL bands with ~17% probability)."""
     if candidates is None:
         candidates = minhash_lsh_pairs(df, id_col, text_col, num_hashes=num_hashes, bands=bands,
                                        shingle_n=shingle_n, threshold=0.0)
@@ -288,3 +359,83 @@ def dedup_by_pairs(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     comp = connected_components(pairs.select("_id1", "_id2"))
     losers = comp.filter(F.col("node") != F.col("comp")).select(F.col("node").alias(id_col))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def embedding_pairs_brute(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    max_broadcast_rows: int = 100_000,
+) -> DataFrame:
+    """Exact all-pairs cosine >= ``threshold`` (id1 < id2) via a
+    driver-collected broadcast matrix: the corpus streams through ONE
+    Arrow kernel scoring each batch against the constant matrix, so
+    vectors cross the JVM->Python boundary once. (The crossJoin pair
+    explosion ships BOTH sides' vectors per pair — measured ~4GB of Arrow
+    traffic / ~15s for a 2000-vector table; this form moves ~1MB.)
+
+    The brute-force baseline for recall contracts and small reference
+    sets; guarded at ``max_broadcast_rows`` — beyond that use
+    ``embedding_dup_pairs`` (hyperplane LSH + exact verify), which is the
+    scale path. Cosine numerics are bit-identical to
+    ``functions.vectors.cosine`` (ascending-dim accumulation, +1e-12
+    denominator). ``id_col`` must be integral (ids ride through numpy).
+    """
+    import pyarrow as pa
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    n = df.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"embedding_pairs_brute: {n} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; use embedding_dup_pairs (LSH) at this scale"
+        )
+    pdf = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+    mt = mat.T.copy()
+    dim = mat.shape[1]
+    msq = np.zeros(len(mat))
+    for d in range(dim):  # ascending-dim adds == the cosine fold order
+        msq += mat[:, d] * mat[:, d]
+    mnorm = np.sqrt(msq)
+    pre_cut = threshold - 1e-6  # final exact filter happens on the column
+
+    out_type = T.ArrayType(T.StructType([
+        T.StructField("id2", T.LongType(), True),
+        T.StructField("cos", T.DoubleType(), True),
+    ]))
+
+    @arrow_udf(out_type, ArrowUDFType.SCALAR)
+    def _pairs(id1: pa.Array, v: pa.Array) -> pa.Array:
+        if isinstance(id1, pa.ChunkedArray):
+            id1 = id1.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = np.asarray(v.flatten(), dtype=np.float64).reshape(len(v), dim) if len(v) else np.zeros((0, dim))
+        i1 = np.asarray(id1, dtype=np.int64)
+        dots = np.zeros((len(x), len(ids)))
+        xsq = np.zeros(len(x))
+        for d in range(dim):
+            dots += x[:, d, None] * mt[d]
+            xsq += x[:, d] * x[:, d]
+        sims = dots / (np.sqrt(xsq)[:, None] * mnorm[None, :] + 1e-12)
+        keep = (sims >= pre_cut) & (ids[None, :] > i1[:, None])
+        out_ids, out_cos, offs = [], [], np.empty(len(x) + 1, dtype=np.int64)
+        offs[0] = 0
+        for r in range(len(x)):
+            sel = np.flatnonzero(keep[r])
+            out_ids.append(ids[sel])
+            out_cos.append(sims[r, sel])
+            offs[r + 1] = offs[r] + len(sel)
+        structs = pa.StructArray.from_arrays(
+            [pa.array(np.concatenate(out_ids) if out_ids else np.zeros(0, np.int64), type=pa.int64()),
+             pa.array(np.concatenate(out_cos) if out_cos else np.zeros(0), type=pa.float64())],
+            ["id2", "cos"],
+        )
+        return pa.LargeListArray.from_arrays(pa.array(offs), structs)
+
+    return (
+        df.select(F.col(id_col).cast("long").alias("_id1"), _pairs(F.col(id_col).cast("long"), F.col(vec_col)).alias("_ps"))
+        .select("_id1", F.explode("_ps").alias("_p"))
+        .select(F.col("_id1"), F.col("_p.id2").alias("_id2"), F.col("_p.cos").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
