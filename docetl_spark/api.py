@@ -122,6 +122,18 @@ class OpsFrame:
         from docetl_spark.operators import rank
         return self._next(rank(self.df, score, **kw), "rank")
 
+    def rank_likert(self, rater, **kw) -> "OpsFrame":
+        from docetl_spark.operators.rank_ops import rank_likert
+        return self._next(rank_likert(self.df, rater, **kw), "rank_likert")
+
+    def rank_calibrated(self, embedding_col: str, anchors, **kw) -> "OpsFrame":
+        from docetl_spark.operators.rank_ops import rank_calibrated
+        return self._next(rank_calibrated(self.df, embedding_col, anchors, **kw), "rank_calibrated")
+
+    def extract_pointer(self, document_keys, pointer_pattern: str, **kw) -> "OpsFrame":
+        from docetl_spark.operators.extract_ops import extract_pointer
+        return self._next(extract_pointer(self.df, document_keys, pointer_pattern, **kw), "extract_pointer")
+
     # -- ingestion fan-out (dataset.py parsing analogue) -----------------------
     def parse(self, tools, user_tools=None) -> "OpsFrame":
         from docetl_spark.sources.parsing import apply_parsing

@@ -149,16 +149,47 @@ def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> 
             blocking_threshold=cfg.get("blocking_threshold", 0.5),
         )
     if op == "extract":
-        from docetl_spark.operators.extract_ops import extract_regex
+        from docetl_spark.operators.extract_ops import extract_pointer, extract_regex
+
+        # reference extraction_method dispatch (extract.py:425-429)
+        if cfg.get("extraction_method", "regex") == "line_number":
+            return extract_pointer(
+                df, document_keys=cfg["document_keys"],
+                pointer_pattern=cfg["pointer_pattern"],
+                name=cfg.get("name", "extract"),
+                line_width=cfg.get("line_width", 80),
+                as_text=cfg.get("format_extraction", True),
+                skip_on_error=cfg.get("skip_on_error", True),
+            )
         return extract_regex(
             df, document_keys=cfg["document_keys"], pattern=cfg["pattern"],
             name=cfg.get("name", "extract"),
         )
     if op == "rank":
-        return ops.rank(
-            df, score=F.expr(cfg["score"]), direction=cfg.get("direction", "desc"),
-            name=cfg.get("name", "rank"), k=cfg.get("k"),
+        from docetl_spark.operators.rank_ops import rank_calibrated, rank_likert
+
+        common = dict(
+            direction=cfg.get("direction", "desc"), name=cfg.get("name", "rank"),
+            k=cfg.get("k"), tiebreak_cols=cfg.get("tiebreak_cols"),
         )
+        if "picker" in cfg:
+            common.update(picker=_load_callable(cfg["picker"]),
+                          rerank_call_budget=cfg.get("rerank_call_budget", 10))
+        method = cfg.get("initial_ordering_method")
+        if method == "likert":
+            return rank_likert(
+                df, rater=_load_callable(cfg["rater"]),
+                batch_size=cfg.get("batch_size", 10),
+                num_calibration_docs=cfg.get("num_calibration_docs", 10),
+                **common,
+            )
+        if method == "calibrated_embedding":
+            common.pop("direction", None)  # calibrated order is (anchor asc, sim desc)
+            return rank_calibrated(
+                df, embedding_col=cfg["embedding_col"], anchors=cfg["anchors"],
+                sim_round=cfg.get("sim_round"), **common,
+            )
+        return ops.rank(df, score=F.expr(cfg["score"]), **common)
     if op == "cluster":
         return ops.cluster(
             df, cfg["embedding_col"],

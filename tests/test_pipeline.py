@@ -145,3 +145,25 @@ def test_pipeline_cluster_op(spark):
     out = _apply_op(df, {"op": "cluster", "embedding_col": "emb"}, {}, spark)
     rows = out.collect()
     assert len(rows) == 12 and all(len(r["clusters"]) >= 1 for r in rows)
+
+
+def test_pipeline_extract_line_number_and_rank_likert(spark, tmp_path):
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [{
+            "name": "s1", "input": "docs", "operations": [
+                {"op": "extract", "extraction_method": "line_number",
+                 "document_keys": ["text"], "pointer_pattern": "data",
+                 "line_width": 60, "name": "ptr"},
+                {"op": "rank", "initial_ordering_method": "likert",
+                 "rater": "tests.helpers_rank:nchars_rater",
+                 "k": 8, "tiebreak_cols": ["doc_id"], "name": "lk"},
+            ],
+        }],
+    }
+    out = Pipeline.from_yaml(_write(tmp_path, cfg)).run(spark)
+    rows = out.orderBy("_lk_rank").collect()
+    assert len(rows) == 8
+    assert "text_extracted_ptr" in out.columns
+    scores = [r["_lk_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
