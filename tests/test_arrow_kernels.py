@@ -1,0 +1,116 @@
+"""Property tests for the Arrow-kernel rewrites (vectors, shingles,
+minhash, reformat): each kernel must byte/bit-match its pure-python
+executable spec on adversarial inputs — including nulls, empties, and
+whitespace oddities — in ONE Spark job per property (hypothesis drives
+the batch content, not per-example Spark runs)."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+TEXTS = st.lists(
+    st.text(alphabet=" \t\nabcdeXYZ.!?0123456789", max_size=120) | st.none(),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=TEXTS, width=st.sampled_from([5, 13, 80]))
+def test_reformat_matches_reference_loop(spark, texts, width):
+    from docetl_spark.operators.extract_ops import _reformat_python, reformat_with_line_numbers
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r["id"]: r["f"] for r in df.select("id", reformat_with_line_numbers("text", width).alias("f")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _reformat_python(t or "", width), (i, t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=TEXTS, n=st.sampled_from([1, 2, 3]))
+def test_shingles_match_python_mirror(spark, texts, n):
+    from docetl_spark.functions.dedup import _py_shingles, shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {r["id"]: list(r["s"]) for r in df.select("id", shingles("text", n).alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t or "", n), (i, t)
+
+
+def test_minhash_signature_shape_and_set_invariance(spark):
+    # same shingle set (different surface whitespace) -> identical signature;
+    # different text -> different signature (w.h.p.)
+    from docetl_spark.functions.dedup import minhash_signature
+
+    rows = [(0, "a b c d e f g"), (1, "  a  b\tc d\n e f g "), (2, "x y z q r s t")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sigs = {r["id"]: tuple(r["s"]) for r in df.select("id", minhash_signature("text", 16, 2).alias("s")).collect()}
+    assert len(sigs[0]) == 16
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+VECS = st.lists(
+    st.lists(st.floats(min_value=-5, max_value=5, allow_nan=False), min_size=4, max_size=4) | st.none(),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=VECS)
+def test_vector_kernels_match_numpy_mirror(spark, vecs):
+    from docetl_spark.functions.vectors import cosine, dot, l2_normalize, norm
+
+    rows = [(i, v, list(reversed(v)) if v is not None else None) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", dot("a", "b").alias("d"), norm("a").alias("n"),
+            cosine("a", "b").alias("c"), l2_normalize("a").alias("l"),
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        r = out[i]
+        if v is None:
+            assert r["d"] is None and r["n"] is None and r["c"] is None and r["l"] is None
+            continue
+        a = np.array(v); b = a[::-1]
+        # ascending-dim accumulation == numpy sum here (4 elements, exact per-op)
+        ed = 0.0
+        for x, y in zip(a, b):
+            ed += x * y
+        sa = 0.0
+        for x in a:
+            sa += x * x
+        assert r["d"] == ed
+        assert r["n"] == math.sqrt(sa)
+        assert r["c"] == ed / (math.sqrt(sa) * math.sqrt(sa) + 1e-12)
+        nl = [x / (math.sqrt(sa) + 1e-12) for x in a]
+        assert list(r["l"]) == nl
+
+
+def test_vector_kernels_empty_frame_and_all_null(spark):
+    from docetl_spark.functions.vectors import cosine, l2_normalize
+
+    empty = spark.createDataFrame([], "a array<double>, b array<double>")
+    assert empty.select(cosine("a", "b").alias("c")).count() == 0
+    nulls = spark.createDataFrame([(None, None)] * 3, "a array<double>, b array<double>")
+    rows = nulls.select(cosine("a", "b").alias("c"), l2_normalize("a").alias("l")).collect()
+    assert all(r["c"] is None and r["l"] is None for r in rows)
+
+
+def test_hyperplane_bucket_array_null_free_contract(spark):
+    # buckets are computed over normalized non-null vectors by every call
+    # site; the kernel itself must stay deterministic across partitionings
+    from docetl_spark.functions.dedup import hyperplane_bucket_array
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    df1 = spark.createDataFrame(rows, "id long, v array<double>").repartition(1)
+    df8 = spark.createDataFrame(rows, "id long, v array<double>").repartition(8)
+    b1 = {r["id"]: list(r["b"]) for r in df1.select("id", hyperplane_bucket_array("v", 8, 5, [1, 2]).alias("b")).collect()}
+    b8 = {r["id"]: list(r["b"]) for r in df8.select("id", hyperplane_bucket_array("v", 8, 5, [1, 2]).alias("b")).collect()}
+    assert b1 == b8
