@@ -198,6 +198,36 @@ def gleaned(
     return wrapped
 
 
+def calibrate(
+    make_fn: Callable[[dict], BatchFn],
+    config: dict,
+    sample: pd.DataFrame,
+    improve: Callable[[pd.DataFrame, pd.DataFrame, dict], dict],
+    num_rounds: int = 1,
+) -> tuple[BatchFn, dict]:
+    """Prompt-calibration loop (reference map.py:182-253 + :288): before
+    the production run, execute the UNcalibrated transform on a small
+    driver-side ``sample``, let ``improve(sample_in, sample_out, config)``
+    return an adjusted config (the reference asks an LLM to rewrite the
+    prompt given the sampled input/output pairs; a deterministic improver
+    slots in the same way), and build the production transform from the
+    final config. Returns ``(fn, final_config)`` so the calibrated config
+    can be logged/persisted — the reference stores it back into
+    ``self.config["prompt"]``.
+
+    ``sample`` is bounded by the caller (reference num_calibration_docs,
+    default 10) — calibration cost never scales with the table.
+    """
+    cfg = dict(config)
+    for _ in range(max(0, int(num_rounds))):
+        out = make_fn(cfg)(sample.reset_index(drop=True))
+        new_cfg = improve(sample.reset_index(drop=True), out.reset_index(drop=True), dict(cfg))
+        if new_cfg == cfg:
+            break  # converged — the improver kept the config
+        cfg = new_cfg
+    return make_fn(cfg), cfg
+
+
 def as_stage(fn: BatchFn, schema) -> Callable:
     """Lift a (possibly wrapped) batch fn into a merge-apply TransformStage:
     ``df -> df.mapInPandas(fn)`` with an explicit output schema."""

@@ -92,6 +92,7 @@ def resolve(
     canonical_cols: list[str] | None = None,
     name: str = "resolve",
     max_iter: int = 20,
+    limit_comparisons: int | None = None,
 ) -> DataFrame:
     """Deduplicate/canonicalize rows in place; adds ``_cluster_id``.
 
@@ -137,10 +138,31 @@ def resolve(
         pair_sets.append(pair_candidates.select("_id1", "_id2"))
     if not pair_sets:
         raise ValueError("resolve needs blocking_keys and/or pair_candidates")
-    pairs = pair_sets[0]
-    for p in pair_sets[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.distinct()
+
+    if limit_comparisons is not None:
+        # comparison-budget cap with the reference's prioritization
+        # (resolve.py:413-440): key-blocked ("code") pairs outrank
+        # embedding/candidate pairs; within a tier the reference
+        # random.samples — here a content-hash order, deterministic at any
+        # parallelism. TakeOrderedAndProject keeps this bounded: no global
+        # sort materializes.
+        tagged = [
+            p.withColumn("_tier", F.lit(tier)) for tier, p in enumerate(pair_sets)
+        ]
+        union = tagged[0]
+        for p in tagged[1:]:
+            union = union.unionByName(p)
+        pairs = (
+            union.groupBy("_id1", "_id2").agg(F.min("_tier").alias("_tier"))
+            .orderBy("_tier", F.xxhash64("_id1", "_id2"))
+            .limit(int(limit_comparisons))
+            .drop("_tier")
+        )
+    else:
+        pairs = pair_sets[0]
+        for p in pair_sets[1:]:
+            pairs = pairs.unionByName(p)
+        pairs = pairs.distinct()
 
     if compare is not None:
         l = nodes.select(F.col(RID).alias("_id1"), *[F.col(c).alias(f"{c}_1") for c in df.columns])

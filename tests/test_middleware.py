@@ -208,3 +208,25 @@ def test_validated_retry_preserves_dtypes_and_rejects_column_drift():
     )
     with pytest.raises(ValueError, match="changed the output columns"):
         wrapped2(pd.DataFrame({"x": [1]}))
+
+
+def test_calibrate_improves_config_then_converges():
+    # reference map.py:182-253: sample -> improve config -> rebuilt fn
+    from docetl_spark.cdc.middleware import calibrate
+
+    def make_fn(cfg):
+        def fn(pdf):
+            return pd.DataFrame({"y": pdf["x"] * cfg["scale"]})
+        return fn
+
+    # improver: nudge scale until sampled outputs average >= 10
+    def improve(sin, sout, cfg):
+        if sout["y"].mean() < 10:
+            return {**cfg, "scale": cfg["scale"] * 2}
+        return cfg
+
+    sample = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+    fn, cfg = calibrate(make_fn, {"scale": 1.0}, sample, improve, num_rounds=10)
+    assert cfg["scale"] == 8.0  # 2*8=16 mean>=10 at scale 8 (mean x =2 -> 16)
+    out = fn(pd.DataFrame({"x": [5.0]}))
+    assert list(out["y"]) == [40.0]

@@ -815,3 +815,35 @@ def test_pipeline_topk_llm_compare_yaml(spark, tmp_path):
     assert len(rows) == 5
     chars = [r["n_chars"] for r in rows]
     assert chars == sorted(chars, reverse=True)
+
+
+def test_resolve_limit_comparisons_prioritizes_blocked_pairs(spark):
+    # reference resolve.py:413-440: budget cap keeps key-blocked ("code")
+    # pairs ahead of candidate (embedding) pairs, deterministically
+    from docetl_spark.operators.resolve_ops import resolve, row_id
+
+    rows = [(i, "k%d" % (i % 3), "v%d" % i) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, k string, v string")
+    ids = df.select(row_id(df).alias("_r"), "id").collect()
+    rid = {r["id"]: r["_r"] for r in ids}
+    # candidate pairs linking across blocks (tier 1)
+    cand = spark.createDataFrame(
+        [(min(rid[0], rid[1]), max(rid[0], rid[1])), (min(rid[2], rid[3]), max(rid[2], rid[3]))],
+        "_id1 long, _id2 long",
+    )
+    out_full = resolve(df, blocking_keys=["k"], compare=F.lit(True), pair_candidates=cand)
+    out_capped = resolve(df, blocking_keys=["k"], compare=F.lit(True), pair_candidates=cand,
+                         limit_comparisons=18)  # exactly the 3 blocks' C(4,2)*3 pairs
+    # capped run keeps every key-blocked pair -> same clusters as blocking-only
+    blocked_only = resolve(df, blocking_keys=["k"], compare=F.lit(True))
+    def clusters(o):
+        return sorted(tuple(sorted(r["id"] for r in g)) for _, g in
+                      __import__("itertools").groupby(
+                          sorted(o.select("id", "_cluster_id").collect(), key=lambda r: r["_cluster_id"]),
+                          key=lambda r: r["_cluster_id"]))
+    assert clusters(out_capped) == clusters(blocked_only)
+    # uncapped includes the cross-block candidate links -> fewer clusters
+    assert len(clusters(out_full)) < len(clusters(blocked_only))
+    # deterministic across runs
+    assert clusters(out_capped) == clusters(
+        resolve(df, blocking_keys=["k"], compare=F.lit(True), pair_candidates=cand, limit_comparisons=18))
