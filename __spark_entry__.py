@@ -603,7 +603,8 @@ def q_extract_reformat_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.withColumn("_fmt", reformat_with_line_numbers("text", width))
     lines = F.split(F.col("_fmt"), "\n", -1)
     stripped = F.transform(lines, _strip_line_number)
-    normalized = F.regexp_replace(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+", " ")
+    # (?U) matches the reformat fold's unicode-whitespace tokenization
+    normalized = F.trim(F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), r"(?U)\s+", " "))
     nonempty = normalized != ""
     p_restore = F.array_join(stripped, " ") == normalized
     p_width = F.forall(stripped, lambda s: F.length(s) <= width)

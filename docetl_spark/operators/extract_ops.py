@@ -58,7 +58,12 @@ def reformat_with_line_numbers(text: Column | str, line_width: int = 80) -> Colu
     word counts per document are small (unlike the per-dim vector folds
     that moved to Arrow UDFs)."""
     c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
-    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    # (?U): Java \s is ASCII-only by default, but the reference wraps with
+    # python str.split() which also breaks on Unicode whitespace (U+00A0,
+    # U+2028, ...). UNICODE_CHARACTER_CLASS closes that gap; the only
+    # remaining divergence is the exotic C0 separators U+001C-1F (python
+    # splits, Unicode White_Space does not).
+    words = F.filter(F.split(c, r"(?U)\s+"), lambda w: w != "")
 
     empty_lines = F.array().cast("array<string>")
 

@@ -143,9 +143,13 @@ def equijoin(
             from docetl_spark.functions.dedup import hyperplane_bucket
 
             right2 = right2.withColumn("_bkt", hyperplane_bucket("_nvr", embedding_dim, lsh_planes, lsh_seed))
-            b0 = hyperplane_bucket("_nvl", embedding_dim, lsh_planes, lsh_seed)
-            probes = F.array(b0, *[b0.bitwiseXOR(F.lit(1 << p)) for p in range(lsh_planes)])
-            left2 = left2.withColumn("_bkt", F.explode(probes))
+            # materialize the base bucket ONCE before the probe fan-out:
+            # inlining the bucket kernel into every probe would evaluate it
+            # planes+1 times (each call builds a distinct UDF expression —
+            # nothing CSEs them; same lesson as ann._lsh_candidate_pairs)
+            left2 = left2.withColumn("_b0", hyperplane_bucket("_nvl", embedding_dim, lsh_planes, lsh_seed))
+            probes = F.array(F.col("_b0"), *[F.col("_b0").bitwiseXOR(F.lit(1 << p)) for p in range(lsh_planes)])
+            left2 = left2.withColumn("_bkt", F.explode(probes)).drop("_b0")
 
     if broadcast_right:
         right2 = F.broadcast(right2)

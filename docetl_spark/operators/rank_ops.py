@@ -333,8 +333,12 @@ def calibrated_anchor_scores(vec_col, anchors: "list[list[float]]"):
     def _scores(v: pa.Array) -> pa.Array:
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        flat = np.asarray(v.flatten(), dtype=np.float64)
-        n = len(v)
+        # NULL embeddings yield a NULL struct (flatten() drops null list
+        # slots, so reshape must use the valid row count)
+        valid = np.asarray(v.is_valid()) if len(v) else np.zeros(0, dtype=bool)
+        comp = v.drop_null() if len(v) and not valid.all() else v
+        n = len(comp)
+        flat = np.asarray(comp.flatten(), dtype=np.float64)
         x = flat.reshape(n, dim) if n else np.zeros((0, dim))
         dots = np.zeros((n, n_anchors))
         xsq = np.zeros(n)
@@ -344,9 +348,20 @@ def calibrated_anchor_scores(vec_col, anchors: "list[list[float]]"):
         sims = dots / (np.sqrt(xsq)[:, None] * anorm[None, :] + 1e-12)
         idx = sims.argmax(axis=1) if n else np.zeros(0, dtype=np.int64)
         best = sims[np.arange(n), idx] if n else np.zeros(0)
+        idx_full = np.zeros(len(v), dtype=np.int64)
+        best_full = np.zeros(len(v))
+        if n:
+            idx_full[np.flatnonzero(valid)] = idx
+            best_full[np.flatnonzero(valid)] = best
+        if len(v) and valid.all():
+            return pa.StructArray.from_arrays(
+                [pa.array(idx_full.astype(np.int32)), pa.array(best_full, type=pa.float64())],
+                ["anchor", "sim"],
+            )
         return pa.StructArray.from_arrays(
-            [pa.array(idx.astype(np.int32)), pa.array(best, type=pa.float64())],
+            [pa.array(idx_full.astype(np.int32)), pa.array(best_full, type=pa.float64())],
             ["anchor", "sim"],
+            mask=pa.array(~valid) if len(v) else pa.array(np.zeros(0, dtype=bool)),
         )
 
     return _scores(F.col(vec_col) if isinstance(vec_col, str) else vec_col)

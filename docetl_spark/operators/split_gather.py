@@ -77,7 +77,11 @@ def split(
     # notes), only the duplicate rows (detected via a narrow hash-count agg,
     # usually none) go through a window; unique rows keep the exact
     # unsalted id and never shuffle. Cost: the input plan executes three
-    # times (count agg + anti + semi) — checkpoint expensive upstreams first.
+    # times (count agg + anti + semi) — checkpoint expensive upstreams
+    # first. The multi-pass split (and every content-derived id in this
+    # repo) requires a DETERMINISTIC input plan: a non-deterministic
+    # upstream (unseeded sample, F.rand filter) can disagree between the
+    # probe and the anti/semi passes — checkpoint such inputs first.
     from pyspark.sql import Window
 
     base_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))

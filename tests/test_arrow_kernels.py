@@ -12,7 +12,7 @@ from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 TEXTS = st.lists(
-    st.text(alphabet=" \t\nabcdeXYZ.!?0123456789", max_size=120) | st.none(),
+    st.text(alphabet=" \t\n\x0b\x0c\u00a0\u2028abcdeXYZ.!?0123456789", max_size=120) | st.none(),
     min_size=1, max_size=25,
 )
 
@@ -114,3 +114,85 @@ def test_hyperplane_bucket_array_null_free_contract(spark):
     b1 = {r["id"]: list(r["b"]) for r in df1.select("id", hyperplane_bucket_array("v", 8, 5, [1, 2]).alias("b")).collect()}
     b8 = {r["id"]: list(r["b"]) for r in df8.select("id", hyperplane_bucket_array("v", 8, 5, [1, 2]).alias("b")).collect()}
     assert b1 == b8
+
+
+def test_shingles_preserve_v1_column_expression_semantics(spark):
+    # the Arrow kernel must keep the ORIGINAL Java-\s+ (ASCII) tokenization
+    # — including on Unicode whitespace, which python str.split() would
+    # additionally break on
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.dedup import shingles
+
+    def v1_shingles(text_col, n, max_shingles=512):
+        toks = F.transform(
+            F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""),
+            lambda t: F.lower(t),
+        )
+        toks = F.slice(toks, 1, max_shingles + n)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+    texts = [
+        "plain ascii words here",
+        "nbsp stays one token",
+        "line sep also glued",
+        " \t mixed ws  and ascii\nbreaks ",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    for n in (1, 3):
+        got = {r["id"]: list(r["a"]) for r in df.select("id", shingles("text", n).alias("a")).collect()}
+        want = {r["id"]: list(r["b"]) for r in df.select("id", v1_shingles("text", n).alias("b")).collect()}
+        assert got == want, (n, got, want)
+
+
+def test_null_vectors_survive_lsh_and_calibrated_paths(spark):
+    # a NULL embedding must degrade gracefully (null bucket / null struct /
+    # no pairs), never crash the kernel reshape (review finding r3)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from docetl_spark.functions.dedup import (
+        embedding_dup_pairs,
+        embedding_pairs_brute,
+        hyperplane_bucket_array,
+    )
+    from docetl_spark.operators.rank_ops import calibrated_anchor_scores
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(6)] + [(6, None), (7, None)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+
+    b = {r["id"]: r["b"] for r in df.select("id", hyperplane_bucket_array("v", 4, 3, [1, 2]).alias("b")).collect()}
+    assert b[6] is None and b[7] is None
+    assert all(b[i] is not None and len(b[i]) == 2 for i in range(6))
+
+    pairs = embedding_dup_pairs(df, "id", "v", dim=4, threshold=-2.0, planes=2)
+    assert pairs.filter((F.col("_id1").isin(6, 7)) | (F.col("_id2").isin(6, 7))).count() == 0
+
+    brute = embedding_pairs_brute(df, "id", "v", threshold=-2.0)
+    ids_in_pairs = {r["_id1"] for r in brute.collect()} | {r["_id2"] for r in brute.collect()}
+    assert 6 not in ids_in_pairs and 7 not in ids_in_pairs
+    assert brute.count() == 15  # C(6,2) — every non-null pair at threshold -2
+
+    cal = df.select("id", calibrated_anchor_scores("v", [rows[0][1], rows[1][1]]).alias("c")).collect()
+    got = {r["id"]: r["c"] for r in cal}
+    assert got[6] is None and got[7] is None
+    assert got[0]["anchor"] == 0
+
+
+def test_lsh_recall_small_corpus_uses_per_query_denominator(spark):
+    # k larger than the corpus: recall of a perfect LSH run must be 1.0,
+    # not neighbors/k (review finding r3)
+    import numpy as np
+
+    from docetl_spark.functions.ann import lsh_recall_at_k
+
+    rng = np.random.RandomState(9)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    rec = lsh_recall_at_k(df, df.filter("id < 2"), "id", "v", dim=8, k=10,
+                          planes=2, tables=4, probe_bits=2)
+    got = {r["query_id"]: r["recall"] for r in rec.collect()}
+    assert got[0] == 1.0 and got[1] == 1.0
