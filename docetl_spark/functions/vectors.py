@@ -140,3 +140,22 @@ def cosine_sim_col(embedding_col: str, query_vec: Sequence[float]) -> Column:
 
 def l2_normalize(a: Column | str) -> Column:
     return _l2n_udf(_c(a))
+
+
+def l2_dist_const(a: Column | str, center: Sequence[float]) -> Column:
+    """Euclidean distance of every row's vector to a constant center —
+    the outlier-sampling kernel. Same zero-copy Arrow shape as the other
+    kernels; ascending-dim accumulation is bit-identical to the old
+    zip_with/aggregate fold."""
+    c = np.asarray([float(x) for x in center], dtype=np.float64)
+
+    @arrow_udf(T.DoubleType(), ArrowUDFType.SCALAR)
+    def _dist(v: pa.Array) -> pa.Array:
+        valid, m = _mat(v)
+        acc = np.zeros(len(m))
+        for d in range(m.shape[1]):
+            diff = m[:, d] - c[d]
+            acc += diff * diff
+        return _scalar_out(valid, np.sqrt(acc))
+
+    return _dist(_c(a))

@@ -121,10 +121,11 @@ def _dim(df: DataFrame, col: str) -> int:
 
 
 def _l2_dist_col(embedding_col: str, center: list[float]) -> F.Column:
-    """JVM-side L2 distance to a constant vector via zip_with + aggregate."""
-    cvec = F.array(*[F.lit(float(x)) for x in center])
-    sq = F.zip_with(F.col(embedding_col), cvec, lambda a, b: (a - b) * (a - b))
-    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    """L2 distance to a constant vector (Arrow kernel — the zip_with/
+    aggregate fold it replaces is CodegenFallback, bit-identical values)."""
+    from docetl_spark.functions.vectors import l2_dist_const
+
+    return l2_dist_const(embedding_col, center)
 
 
 def topk(
