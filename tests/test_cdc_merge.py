@@ -492,3 +492,27 @@ def test_precomputed_stats_fingerprint_fallback(spark, tmp_path):
     assert m1.keys_in_batch == 2 and m1.deletes == 1
     got = {r["k"]: r["v"] for r in read_state(spark, table).collect()}
     assert got == {"a": 11.0}
+
+
+def test_rebucket_between_replays_resumes_correctly(spark, tmp_path):
+    # bucket-spec evolution mid-stream: replay half, rebucket to 4x the
+    # buckets, resume — fence intact, prefetch fingerprint adapts, final
+    # state equals the oracle
+    from pyspark.sql import functions as F
+
+    from docetl_spark.cdc import create_cdc_table, read_state, replay_events
+    from docetl_spark.sources.testgen import final_state_oracle, gen_change_events
+
+    path = str(tmp_path / "t")
+    ev = gen_change_events(spark, n_events=6000, n_keys=900, batch_size=1500, seed=3)
+    table = create_cdc_table(path, ["repo", "path", "commit"], num_buckets=4)
+    bids = sorted(r[0] for r in ev.select("batch_id").distinct().collect())
+    replay_events(spark, table, ev, batch_ids=bids[: len(bids) // 2])
+    table.rebucket(spark, 16)
+    assert table.snapshot().num_buckets == 16
+    ms = replay_events(spark, table, ev)
+    assert [m.batch_id for m in ms if not m.skipped] == bids[len(bids) // 2 :]
+    state = read_state(spark, table).select("repo", "path", "commit", F.sha2("content", 256).alias("h"))
+    oracle = final_state_oracle(ev).select("repo", "path", "commit", F.sha2("content", 256).alias("h"))
+    assert state.exceptAll(oracle).count() == 0
+    assert oracle.exceptAll(state).count() == 0
