@@ -875,6 +875,80 @@ SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(comp)
 """
 
 
+def q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental near-dup dedup ingest
+    (functions/incr_dedup.py): documents arrive in three fenced id-ordered
+    batches; each batch LSH-blocks against the STORED corpus signatures,
+    exact-verifies (trigram jaccard >= 0.8) and applies the greedy
+    streaming rule — drop a doc iff it near-dups a RETAINED earlier doc.
+    The oracle recomputes the same greedy decisions over the brute-force
+    pair set with a bounded-round recursive CTE, so the whole incremental
+    pipeline (banding parity between stored and fresh signatures, fencing,
+    cross/within ordering) is value-checked end to end."""
+    from docetl_spark.cdc import create_cdc_table, read_state
+    from docetl_spark.functions.incr_dedup import dedup_ingest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="incr_dedup_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["doc_id"], num_buckets=8, key_types={"doc_id": "int"})
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    for b in range(3):
+        batch = docs.filter((F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1]))
+        dedup_ingest(spark, table, batch, b, "doc_id", "text",
+                     num_hashes=32, bands=16, shingle_n=3, threshold=0.8)
+    kept = read_state(spark, table).select("doc_id", F.lit(True).alias("_k"))
+    return (
+        docs.join(kept, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_k"), F.lit(False)).alias("kept"))
+    )
+
+
+# greedy (lexicographically-first) streaming-dedup decisions over the
+# brute-force trigram-jaccard>=0.8 pair set: bounded-round recursion where
+# every round re-emits the accumulated decisions with a bumped counter
+# (UNION-dedup would silently drop carried rows from the working set) and
+# decides nodes whose smaller neighbors are all decided. 16 rounds bounds
+# the longest dependency chain (near-dup components on this corpus are
+# tiny; the engine's loop allows 50).
+ORACLE_INCR_DEDUP = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i : i + 2], ' '))) AS s
+  FROM (
+    SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x))[1 : 515] AS toks
+    FROM documents
+  )
+),
+p AS (
+  SELECT a.doc_id AS s, b.doc_id AS t
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND round(len(list_intersect(a.s, b.s)) * 1.0 / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.8
+),
+nodes AS (SELECT DISTINCT x FROM (SELECT s AS x FROM p UNION SELECT t FROM p)),
+cnt AS (SELECT t, count(*) c FROM p GROUP BY t),
+dec(x, kept, r) AS (
+  SELECT x, true, 0 FROM nodes WHERE x NOT IN (SELECT t FROM p)
+  UNION ALL
+  (WITH cur AS (SELECT x, kept, r FROM dec)
+   SELECT x, kept, r + 1 FROM cur WHERE r < 16
+   UNION ALL
+   SELECT p.t, NOT bool_or(cur.kept), max(cur.r) + 1
+   FROM p JOIN cur ON cur.x = p.s
+   WHERE p.t NOT IN (SELECT x FROM cur)
+   GROUP BY p.t
+   HAVING count(DISTINCT p.s) = (SELECT c FROM cnt WHERE t = p.t) AND max(cur.r) < 16)
+)
+SELECT d.doc_id, coalesce(g.kept, true) AS kept
+FROM documents d
+LEFT JOIN (SELECT x, bool_or(kept) AS kept FROM dec GROUP BY x) g ON g.x = d.doc_id
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures, bit-for-bit oracled: the per-token hash is
     md5[:8] little-endian, which DuckDB reproduces in SQL (unnest tokens ->
@@ -1446,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_unigram_jaccard": q_near_dup_unigram_jaccard,
         "near_dup_minhash_lsh": q_near_dup_minhash_lsh,
         "dedup_by_pairs_docs": q_dedup_by_pairs_docs,
+        "incremental_dedup_docs": q_incremental_dedup_docs,
         "simhash_docs": q_simhash_docs,
         "near_dup_embedding_exact": q_near_dup_embedding_exact,
         "knn_cosine_top5": q_knn_cosine_top5,
@@ -1495,6 +1570,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_unigram_jaccard": ORACLE_JACCARD,
         "near_dup_minhash_lsh": ORACLE_MINHASH_LSH,
         "dedup_by_pairs_docs": ORACLE_DEDUP_PAIRS,
+        "incremental_dedup_docs": ORACLE_INCR_DEDUP,
         "simhash_docs": ORACLE_SIMHASH,
         "near_dup_embedding_exact": ORACLE_EMB_EXACT,
         "knn_cosine_top5": ORACLE_KNN,

@@ -29,13 +29,25 @@ from docetl_spark.cdc.merge import (
 from docetl_spark.lake.table import LakeTable
 
 
-def create_cdc_table(path: str, key_cols: list[str], num_buckets: int = 16) -> LakeTable:
+def create_cdc_table(
+    path: str, key_cols: list[str], num_buckets: int = 16,
+    key_types: dict[str, str] | None = None,
+) -> LakeTable:
     """Create an empty CDC target table: key columns + LWW system columns.
 
     All payload columns arrive via in-flight schema evolution, exactly as
     new DocETL operator output columns appear mid-stream (north rule).
+    Key columns default to string (the north-rule key shape); pass
+    ``key_types`` (type-spec strings, e.g. ``{"doc_id": "int"}``) for
+    non-string keys — key types do NOT evolve (widening a key would change
+    its hash and therefore its bucket).
     """
-    fields = [T.StructField(k, T.StringType(), False) for k in key_cols]
+    from docetl_spark.schema import parse_type
+
+    key_types = key_types or {}
+    fields = [
+        T.StructField(k, parse_type(key_types.get(k, "string")), False) for k in key_cols
+    ]
     fields += [T.StructField("lsn", T.LongType(), True), T.StructField(DELETED_COL, T.BooleanType(), True)]
     return LakeTable.create(path, T.StructType(fields), key_cols, num_buckets=num_buckets)
 

@@ -146,6 +146,25 @@ def minhash_signature(text: Column | str, num_hashes: int = 32, shingle_n: int =
     return _sig(F.col(text) if isinstance(text, str) else text)
 
 
+def band_buckets(sig_col: Column | str, num_hashes: int, bands: int) -> Column:
+    """Banded LSH bucket ids (array of ``bands`` hashes) from a minhash
+    signature column — rows agreeing on ANY band land in one bucket.
+    Shared by the one-shot pair generator and the incremental dedup index
+    (both sides must band identically for cross joins to block)."""
+    s = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    rows_per_band = num_hashes // bands
+    return F.array(*[
+        F.xxhash64(
+            F.concat_ws(",", *[
+                F.element_at(s, b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ]),
+            F.lit(b),
+        )
+        for b in range(bands)
+    ])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -163,14 +182,9 @@ def minhash_lsh_pairs(
     Scale: the only wide ops are the bucket groupBy-join (keys are
     band hashes — uniform) and the verify join on (id, signature).
     """
-    rows_per_band = num_hashes // bands
     sig = df.select(F.col(id_col).alias("_id"), minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("_sig"))
     sig = sig.persist()
-    band_cols = [
-        F.xxhash64(F.concat_ws(",", *[F.element_at("_sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)]), F.lit(b)).alias("_bucket")
-        for b in range(bands)
-    ]
-    banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("_bucket"))
+    banded = sig.select("_id", F.explode(band_buckets("_sig", num_hashes, bands)).alias("_bucket"))
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), on="_bucket")

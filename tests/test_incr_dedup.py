@@ -1,0 +1,84 @@
+"""Incremental near-dup dedup ingest (functions/incr_dedup.py): greedy
+decisions, batch invariance, cross-batch blocking against the stored
+corpus, and exactly-once fencing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docetl_spark.cdc import create_cdc_table, read_state
+from docetl_spark.functions.incr_dedup import dedup_ingest, greedy_first_kept
+
+
+def test_greedy_first_kept_is_not_component_min(spark):
+    # chain 1-5, 3-5: greedy keeps {1,3} (5 dropped) whereas component-min
+    # CC removal would keep only {1} — the two semantics are distinct and
+    # this operator implements the greedy (streaming) one
+    pairs = spark.createDataFrame([(1, 5), (3, 5)], "_id1 long, _id2 long")
+    got = {r["_id"]: r["kept"] for r in greedy_first_kept(pairs).collect()}
+    assert got == {1: True, 3: True, 5: False}
+
+    # chain 1-2, 2-3: 2 dropped by 1, 3 kept (its only smaller neighbor 2
+    # was dropped) — needs the second decision round
+    pairs2 = spark.createDataFrame([(1, 2), (2, 3)], "_id1 long, _id2 long")
+    got2 = {r["_id"]: r["kept"] for r in greedy_first_kept(pairs2).collect()}
+    assert got2 == {1: True, 2: False, 3: True}
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again tonight"
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE + " extra"),                      # near-dup of 0
+        (2, "completely different text about spark shuffles and codegen paths"),
+        (3, BASE.replace("lazy", "sleepy")),       # near-dup of 0/1
+        (4, "another unrelated document mentioning parquet row groups only"),
+        (5, BASE + " extra"),                      # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ingest_all(spark, tmp_path, corpus, splits, tag):
+    table = create_cdc_table(str(tmp_path / f"t_{tag}"), ["doc_id"], num_buckets=4, key_types={"doc_id": "int"})
+    stats = []
+    for bid, (lo, hi) in enumerate(splits):
+        batch = corpus.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        stats.append(dedup_ingest(spark, table, batch, bid, "doc_id", "text",
+                                  num_hashes=32, bands=16, threshold=0.6))
+    kept = sorted(r["doc_id"] for r in read_state(spark, table).collect())
+    return table, kept, stats
+
+
+def test_batch_invariance_and_cross_batch_blocking(spark, tmp_path, corpus):
+    # one big batch vs id-ordered splits must retain the same set
+    _, kept1, _ = _ingest_all(spark, tmp_path, corpus, [(0, 6)], "one")
+    _, kept3, stats3 = _ingest_all(spark, tmp_path, corpus, [(0, 2), (2, 4), (4, 6)], "three")
+    # doc 1 drops within batch 0 (jaccard 11/12 vs doc 0); doc 5 drops
+    # cross-batch vs the stored doc 0; doc 3 ('sleepy' variant) survives —
+    # its jaccard to doc 0 is 8/14 ~ 0.571, below the 0.6 threshold
+    assert kept1 == kept3 == [0, 2, 3, 4]
+    assert stats3[0].dropped_within == 1
+    assert stats3[1].dropped_cross == 0
+    assert stats3[2].dropped_cross == 1
+
+
+def test_dedup_ingest_fence_and_replay(spark, tmp_path, corpus):
+    table = create_cdc_table(str(tmp_path / "t_f"), ["doc_id"], num_buckets=4, key_types={"doc_id": "int"})
+    b0 = corpus.filter("doc_id < 3")
+    s1 = dedup_ingest(spark, table, b0, 0, "doc_id", "text", threshold=0.6)
+    assert not s1.merge.skipped and s1.kept == 2  # 0, 2 kept; 1 dropped
+    v = table.snapshot().version
+    s2 = dedup_ingest(spark, table, b0, 0, "doc_id", "text", threshold=0.6)  # redelivery
+    assert s2.merge.skipped and table.snapshot().version == v
+    assert sorted(r["doc_id"] for r in read_state(spark, table).collect()) == [0, 2]
+
+
+def test_stored_signatures_power_the_cross_join(spark, tmp_path, corpus):
+    # the stored side bands from PERSISTED signatures — no re-signing of
+    # the corpus on later batches
+    table, kept, _ = _ingest_all(spark, tmp_path, corpus, [(0, 3), (3, 6)], "sig")
+    state = read_state(spark, table)
+    assert "_sig" in state.columns
+    assert state.filter(F.size("_sig") != 32).count() == 0
