@@ -1,4 +1,4 @@
 from docetl_spark.streaming.stateful import stateful_fold
-from docetl_spark.streaming.stream import read_change_stream, stream_changes
+from docetl_spark.streaming.stream import read_change_stream, stream_changes, stream_dedup_ingest
 
-__all__ = ["read_change_stream", "stream_changes", "stateful_fold"]
+__all__ = ["read_change_stream", "stream_changes", "stream_dedup_ingest", "stateful_fold"]

@@ -107,3 +107,56 @@ def stream_changes(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    table: LakeTable,
+    docs: DataFrame,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    metrics_path: str | None = None,
+    trigger_available_now: bool = True,
+    query_name: str = "dedup_ingest",
+    **dedup_kwargs,
+) -> StreamingQuery:
+    """Streaming face of the incremental dedup ingest
+    (functions/incr_dedup.dedup_ingest): tail a stream of documents,
+    near-dup-dedup each microbatch against the stored corpus + itself,
+    commit kept rows exactly-once. The same idempotent-foreachBatch
+    contract as ``stream_changes``: a replayed microbatch id is fenced,
+    so crash/restart never re-drops or double-indexes.
+
+    The greedy keep-rule's "earlier" ordering is (stored corpus, then
+    ascending ``id_col`` within the batch) — i.e. true arrival order when
+    the stream delivers id-ordered files; for out-of-order streams the
+    retained set is still deterministic per delivery order (the fence
+    pins which batch saw which corpus state)."""
+    from docetl_spark.functions.incr_dedup import dedup_ingest
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stats = dedup_ingest(spark, table, batch_df, int(batch_id),
+                             id_col, text_col, **dedup_kwargs)
+        if metrics_path:
+            os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+            with open(metrics_path, "a") as f:
+                rec = {
+                    "batch_id": int(batch_id),
+                    "batch_docs": stats.batch_docs,
+                    "dropped_cross": stats.dropped_cross,
+                    "dropped_within": stats.dropped_within,
+                    "kept": stats.kept,
+                    "skipped": stats.merge.skipped,
+                    "snapshot_version": stats.merge.snapshot_version,
+                }
+                f.write(json.dumps(rec) + "\n")
+
+    writer = (
+        docs.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -140,3 +140,48 @@ def test_stream_mor_with_inline_compaction(spark, tmp_path):
     assert df_rows(got.select(*KEYS, "lsn")) == df_rows(final_state_oracle(ev).select(*KEYS, "lsn"))
     ops = [h["operation"] for h in table.history()]
     assert "compact" in ops  # inline maintenance actually ran
+
+
+def test_stream_dedup_ingest_drains_and_dedups(spark, tmp_path):
+    # streaming face of the incremental dedup ingest: file-drop doc
+    # segments -> foreachBatch dedup_ingest; restart on the same
+    # checkpoint must not re-apply fenced batches
+    import pandas as pd
+
+    from docetl_spark.streaming.stream import stream_dedup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    docs = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": [base, base + " extra", "totally different words about shuffles",
+                 base + " extra", "another unrelated parquet document here", base],
+    })
+    wal = str(tmp_path / "docs_wal")
+    os.makedirs(wal)
+    docs.iloc[:3].to_parquet(os.path.join(wal, "seg-000.parquet"), index=False)
+    docs.iloc[3:].to_parquet(os.path.join(wal, "seg-001.parquet"), index=False)
+
+    from docetl_spark.cdc import create_cdc_table
+
+    table = create_cdc_table(str(tmp_path / "corpus"), ["doc_id"], num_buckets=4,
+                             key_types={"doc_id": "int"})
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(wal)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_dedup_ingest(spark, table, stream, ckpt, "doc_id", "text",
+                            threshold=0.6, metrics_path=str(tmp_path / "m.jsonl"))
+    q.awaitTermination(300)
+    kept = sorted(r["doc_id"] for r in read_state(spark, table).collect())
+    # 1 near-dups 0 (within seg0); 3 == 1's text (cross vs stored 0);
+    # 5 == base (cross); 2 and 4 unique
+    assert kept == [0, 2, 4]
+    v = table.snapshot().version
+
+    # restart on same checkpoint: nothing new -> no re-application
+    stream2 = spark.readStream.schema(schema).parquet(wal)
+    q2 = stream_dedup_ingest(spark, table, stream2, ckpt, "doc_id", "text", threshold=0.6)
+    q2.awaitTermination(300)
+    assert table.snapshot().version == v
+    assert sorted(r["doc_id"] for r in read_state(spark, table).collect()) == [0, 2, 4]

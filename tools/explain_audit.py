@@ -43,7 +43,7 @@ CROSS_OK = {
     "equijoin_embedding",
 }
 # Driver-side / multi-job queries where a single final plan isn't the story.
-SKIP = {"cdc_merge_lww", "cdc_stream_lww", "cluster_docs"}
+SKIP = {"cdc_merge_lww", "cdc_stream_lww", "cluster_docs", "incremental_dedup_docs"}
 
 
 def audit(name: str, plan: str) -> list[str]:
