@@ -85,9 +85,15 @@ def test_vector_kernels_match_numpy_mirror(spark, vecs):
         sa = 0.0
         for x in a:
             sa += x * x
+        # b's squared norm accumulates in B'S element order — reversed-
+        # order addition rounds differently, so sb != sa in general even
+        # though |reversed(a)| == |a| mathematically
+        sb = 0.0
+        for y in b:
+            sb += y * y
         assert r["d"] == ed
         assert r["n"] == math.sqrt(sa)
-        assert r["c"] == ed / (math.sqrt(sa) * math.sqrt(sa) + 1e-12)
+        assert r["c"] == ed / (math.sqrt(sa) * math.sqrt(sb) + 1e-12)
         nl = [x / (math.sqrt(sa) + 1e-12) for x in a]
         assert list(r["l"]) == nl
 
