@@ -7,7 +7,11 @@ batch of incoming documents is
 1. signed (Arrow minhash kernel) and LSH-banded,
 2. blocked against the STORED corpus via a band-bucket equi-join (never
    all-pairs — the stored side re-derives band buckets from its persisted
-   signatures, so the index costs num_hashes longs per doc),
+   signatures, so the index costs num_hashes longs per doc; scale note:
+   this is an O(|corpus|) narrow column scan per batch, which the lake's
+   column pruning makes cheap but not free — at 10^10 docs, materialize
+   the banded (bucket, doc_id) projection as its own bucketed table so a
+   batch joins only its buckets, the same pruning story as read_keys),
 3. exact-verified (n-gram jaccard on the candidate pairs only),
 4. greedily deduped: a doc is dropped iff it near-dups any RETAINED
    earlier doc — stored docs count as earlier; within the batch "earlier"
@@ -44,7 +48,9 @@ from docetl_spark.lake.table import LakeTable
 SIG_COL = "_sig"
 
 
-def greedy_first_kept(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def greedy_first_kept(
+    pairs: DataFrame, max_iter: int = 50, driver_threshold: int = 100_000
+) -> DataFrame:
     """Greedy (lexicographically-first) dedup decisions over a sparse
     near-dup pair graph.
 
@@ -60,6 +66,33 @@ def greedy_first_kept(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     real near-dup graphs); each round is one join over the pair set,
     localCheckpoint-pinned so lineage stays flat.
     """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("_id", pairs.schema["_id1"].dataType, True),
+        T.StructField("kept", T.BooleanType(), True),
+    ])
+    # one job answers both "empty?" and "driver-sized?"
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pairs.sparkSession.createDataFrame([], out_schema)
+    if n_pairs <= driver_threshold:
+        # guarded driver fast path (the cluster()-style contract): real
+        # near-dup graphs are sparse, and the sequential greedy over a
+        # collected edge list replaces ~6 Spark jobs per decision round
+        # with one collect. Above the threshold the distributed
+        # round-based loop below takes over.
+        rows = pairs.select("_id1", "_id2").collect()
+        smaller: dict = {}
+        for r in rows:
+            s, t = (r["_id1"], r["_id2"]) if r["_id1"] < r["_id2"] else (r["_id2"], r["_id1"])
+            smaller.setdefault(t, set()).add(s)
+            smaller.setdefault(s, set())
+        kept: dict = {}
+        for x in sorted(smaller):
+            kept[x] = not any(kept[y] for y in smaller[x])
+        return pairs.sparkSession.createDataFrame(sorted(kept.items()), out_schema)
+
     edges = pairs.select(
         F.least("_id1", "_id2").alias("_s"), F.greatest("_id1", "_id2").alias("_t")
     ).distinct().localCheckpoint()

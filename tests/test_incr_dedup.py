@@ -14,14 +14,15 @@ def test_greedy_first_kept_is_not_component_min(spark):
     # CC removal would keep only {1} — the two semantics are distinct and
     # this operator implements the greedy (streaming) one
     pairs = spark.createDataFrame([(1, 5), (3, 5)], "_id1 long, _id2 long")
-    got = {r["_id"]: r["kept"] for r in greedy_first_kept(pairs).collect()}
-    assert got == {1: True, 3: True, 5: False}
-
-    # chain 1-2, 2-3: 2 dropped by 1, 3 kept (its only smaller neighbor 2
-    # was dropped) — needs the second decision round
     pairs2 = spark.createDataFrame([(1, 2), (2, 3)], "_id1 long, _id2 long")
-    got2 = {r["_id"]: r["kept"] for r in greedy_first_kept(pairs2).collect()}
-    assert got2 == {1: True, 2: False, 3: True}
+    for thr in (100_000, 0):  # driver fast path AND the distributed loop
+        got = {r["_id"]: r["kept"] for r in greedy_first_kept(pairs, driver_threshold=thr).collect()}
+        assert got == {1: True, 3: True, 5: False}, thr
+
+        # chain 1-2, 2-3: 2 dropped by 1, 3 kept (its only smaller neighbor
+        # 2 was dropped) — needs the second decision round
+        got2 = {r["_id"]: r["kept"] for r in greedy_first_kept(pairs2, driver_threshold=thr).collect()}
+        assert got2 == {1: True, 2: False, 3: True}, thr
 
 
 BASE = "the quick brown fox jumps over the lazy dog again and again tonight"
