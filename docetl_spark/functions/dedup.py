@@ -419,6 +419,11 @@ def embedding_pairs_brute(
         )
     pdf = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")).toPandas()
     pdf = pdf[pdf["_v"].notna()]  # NULL vectors can never clear the threshold
+    if not len(pdf):
+        # empty / all-null corpus: no pairs, with the output schema intact
+        return df.sparkSession.createDataFrame(
+            [], "_id1 long, _id2 long, cosine double"
+        )
     ids = pdf["_id"].to_numpy(dtype=np.int64)
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
     mt = mat.T.copy()

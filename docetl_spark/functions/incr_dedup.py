@@ -73,16 +73,18 @@ def greedy_first_kept(
         T.StructField("kept", T.BooleanType(), True),
     ])
     # one job answers both "empty?" and "driver-sized?"
-    n_pairs = pairs.count()
-    if n_pairs == 0:
+    # one job answers "empty?", "driver-sized?" AND fetches the driver
+    # path's rows — the verify pipeline behind `pairs` is expensive and
+    # must not run once for a count and again for a collect
+    rows = pairs.select("_id1", "_id2").limit(driver_threshold + 1).collect()
+    if not rows:
         return pairs.sparkSession.createDataFrame([], out_schema)
-    if n_pairs <= driver_threshold:
+    if len(rows) <= driver_threshold:
         # guarded driver fast path (the cluster()-style contract): real
         # near-dup graphs are sparse, and the sequential greedy over a
         # collected edge list replaces ~6 Spark jobs per decision round
         # with one collect. Above the threshold the distributed
-        # round-based loop below takes over.
-        rows = pairs.select("_id1", "_id2").collect()
+        # round-based loop below takes over (re-running the pair plan).
         smaller: dict = {}
         for r in rows:
             s, t = (r["_id1"], r["_id2"]) if r["_id1"] < r["_id2"] else (r["_id2"], r["_id1"])
@@ -130,6 +132,13 @@ def greedy_first_kept(
         if newly.isEmpty():  # pragma: no cover - cycle guard (graph is a DAG by _s < _t)
             break
         decided = decided.unionByName(newly).localCheckpoint()
+    # never return a partial decision set: undecided tails would silently
+    # default to kept downstream, diverging from the greedy contract
+    if not nodes.join(decided, "_id", "left_anti").isEmpty():
+        raise ValueError(
+            f"greedy_first_kept did not converge in {max_iter} rounds — the pair "
+            "graph has a longer dependency chain; raise max_iter"
+        )
     return decided
 
 
@@ -167,6 +176,15 @@ def dedup_ingest(
     """
     from docetl_spark.cdc.replay import read_state
 
+    id_type = batch.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        # the greedy "earlier" ordering and the synthesized lsn both need a
+        # numeric id; a string id would order lexicographically ("10"<"9")
+        # and cast to a NULL lsn silently
+        raise ValueError(
+            f"dedup_ingest needs an integral id_col; {id_col!r} is {id_type} "
+            "(derive one upstream, e.g. xxhash64 of a natural key)"
+        )
     snap = table.snapshot()
     if batch_id <= int(snap.properties.get(FENCE_PROP, "-1")):
         return DedupIngestMetrics(
@@ -209,8 +227,10 @@ def dedup_ingest(
         cross_pairs = verified(cross_cands, stored, signed)
         dropped_cross = cross_pairs.select(F.col("_id2").alias("_id")).distinct()
 
+    # broadcast the (pair-bounded) drop list: the left side carries full
+    # document text and must never shuffle (cdc/merge.py design rule)
     survivors = signed.join(
-        dropped_cross.withColumnRenamed("_id", id_col), id_col, "left_anti"
+        F.broadcast(dropped_cross.withColumnRenamed("_id", id_col)), id_col, "left_anti"
     ).localCheckpoint()
 
     # within-batch pairs among cross-survivors, then the greedy rule
@@ -225,7 +245,7 @@ def dedup_ingest(
     decisions = greedy_first_kept(within_pairs)
     kept_rows = (
         survivors.join(
-            decisions.withColumnRenamed("_id", id_col), id_col, "left"
+            F.broadcast(decisions.withColumnRenamed("_id", id_col)), id_col, "left"
         )
         .filter(F.coalesce(F.col("kept"), F.lit(True)))
         .drop("kept")

@@ -353,15 +353,13 @@ def calibrated_anchor_scores(vec_col, anchors: "list[list[float]]"):
         if n:
             idx_full[np.flatnonzero(valid)] = idx
             best_full[np.flatnonzero(valid)] = best
-        if len(v) and valid.all():
-            return pa.StructArray.from_arrays(
-                [pa.array(idx_full.astype(np.int32)), pa.array(best_full, type=pa.float64())],
-                ["anchor", "sim"],
-            )
+        kwargs = {} if (len(v) and valid.all()) else {
+            "mask": pa.array(~valid) if len(v) else pa.array(np.zeros(0, dtype=bool))
+        }
         return pa.StructArray.from_arrays(
             [pa.array(idx_full.astype(np.int32)), pa.array(best_full, type=pa.float64())],
             ["anchor", "sim"],
-            mask=pa.array(~valid) if len(v) else pa.array(np.zeros(0, dtype=bool)),
+            **kwargs,
         )
 
     return _scores(F.col(vec_col) if isinstance(vec_col, str) else vec_col)

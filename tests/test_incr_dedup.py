@@ -83,3 +83,34 @@ def test_stored_signatures_power_the_cross_join(spark, tmp_path, corpus):
     state = read_state(spark, table)
     assert "_sig" in state.columns
     assert state.filter(F.size("_sig") != 32).count() == 0
+
+
+def test_dedup_ingest_rejects_string_ids(spark, tmp_path):
+    # a string id would order lexicographically and yield NULL lsn —
+    # fail loudly (review finding r3 pass 2)
+    from docetl_spark.cdc import create_cdc_table
+
+    table = create_cdc_table(str(tmp_path / "t_s"), ["doc_id"], num_buckets=2)
+    df = spark.createDataFrame([("a", "x"), ("b", "y")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral id_col"):
+        dedup_ingest(spark, table, df, 0, "doc_id", "text")
+
+
+def test_greedy_nonconvergence_raises(spark):
+    # a chain longer than max_iter must raise, never silently default to
+    # kept (review finding r3 pass 2)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], "_id1 long, _id2 long")
+    with pytest.raises(ValueError, match="did not converge"):
+        greedy_first_kept(pairs, max_iter=2, driver_threshold=0)
+    # and with enough rounds the same chain decides alternately
+    got = {r["_id"]: r["kept"] for r in greedy_first_kept(pairs, driver_threshold=0).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True, 5: False, 6: True}
+
+
+def test_embedding_pairs_brute_all_null_and_empty(spark):
+    from docetl_spark.functions.dedup import embedding_pairs_brute
+
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id long, v array<double>")
+    assert embedding_pairs_brute(allnull, "id", "v", threshold=0.0).count() == 0
+    empty = spark.createDataFrame([], "id long, v array<double>")
+    assert embedding_pairs_brute(empty, "id", "v", threshold=0.0).count() == 0
