@@ -331,6 +331,40 @@ FROM (
 """
 
 
+_SEM_SIM_QVEC = [1.0, -0.5, 0.25] + [0.0] * 61  # fixed 64-dim probe direction
+
+
+def q_value_sample_sem_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce value_sampling method=sem_sim (reference reduce.py:430-464):
+    per group, the reduce sees only the ``sample_size`` vectors most
+    cosine-similar to the query direction. The oracle ranks with DuckDB's
+    list_cosine_similarity against the same static literal — raw-float
+    ordering parity, same contract shape as knn_cosine_top5."""
+    from docetl_spark.operators.reduce_ops import value_sample
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 5).alias("grp"), "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    sampled = value_sample(emb, "grp", method="sem_sim", sample_size=3,
+                           embedding_col="embedding", query_vec=_SEM_SIM_QVEC)
+    return sampled.select("grp", "vec_id").orderBy("grp", "vec_id")
+
+
+_QVEC_SQL = "[" + ", ".join(str(x) for x in _SEM_SIM_QVEC) + "]::DOUBLE[]"
+
+ORACLE_VALUE_SAMPLE_SEM = f"""
+SELECT grp, vec_id FROM (
+  SELECT vec_id % 5 AS grp, vec_id,
+         row_number() OVER (
+           PARTITION BY vec_id % 5
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) DESC
+         ) AS rn
+  FROM embeddings
+) WHERE rn <= 3
+"""
+
+
 def q_equijoin_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.operators import equijoin
 
@@ -1502,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_events_per_user": q_fold_events_per_user,
         "reduce_merge_salted": q_reduce_merge_salted,
         "value_sample_first_n": q_value_sample_first_n,
+        "value_sample_sem_sim": q_value_sample_sem_sim,
         "equijoin_verify": q_equijoin_verify,
         "resolve_majority_canon": q_resolve_majority_canon,
         "split_chunks": q_split_chunks,
@@ -1552,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "fold_events_per_user": ORACLE_FOLD,
         "reduce_merge_salted": ORACLE_MERGE_SALTED,
         "value_sample_first_n": ORACLE_VALUE_SAMPLE,
+        "value_sample_sem_sim": ORACLE_VALUE_SAMPLE_SEM,
         "equijoin_verify": ORACLE_EQUIJOIN,
         "resolve_majority_canon": ORACLE_RESOLVE,
         "split_chunks": ORACLE_SPLIT,
