@@ -331,6 +331,30 @@ FROM (
 """
 
 
+def q_parallel_map_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parallel_map (reference docetl/operations/map.py ParallelMapOperation):
+    independent prompt branches compute disjoint output keys over the same
+    row; here two deterministic branches over documents."""
+    from docetl_spark.operators import parallel_map
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    out = parallel_map(docs, [
+        {"n_tokens": F.size(F.split(F.trim("text"), r"\s+"))},
+        {"chars_sq": (F.col("n_chars").cast("long") * F.col("n_chars")).cast("long"),
+         "head": F.substring("text", 1, 12)},
+    ])
+    return out.select("doc_id", "n_tokens", "chars_sq", "head")
+
+
+ORACLE_PARALLEL_MAP = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       CAST(n_chars AS BIGINT) * n_chars AS chars_sq,
+       substr(text, 1, 12) AS head
+FROM documents
+"""
+
+
 _SEM_SIM_QVEC = [1.0, -0.5, 0.25] + [0.0] * 61  # fixed 64-dim probe direction
 
 
@@ -1535,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_lineage_docs": q_reduce_lineage_docs,
         "fold_events_per_user": q_fold_events_per_user,
         "reduce_merge_salted": q_reduce_merge_salted,
+        "parallel_map_docs": q_parallel_map_docs,
         "value_sample_first_n": q_value_sample_first_n,
         "value_sample_sem_sim": q_value_sample_sem_sim,
         "equijoin_verify": q_equijoin_verify,
@@ -1586,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "reduce_lineage_docs": ORACLE_REDUCE_LINEAGE,
         "fold_events_per_user": ORACLE_FOLD,
         "reduce_merge_salted": ORACLE_MERGE_SALTED,
+        "parallel_map_docs": ORACLE_PARALLEL_MAP,
         "value_sample_first_n": ORACLE_VALUE_SAMPLE,
         "value_sample_sem_sim": ORACLE_VALUE_SAMPLE_SEM,
         "equijoin_verify": ORACLE_EQUIJOIN,
