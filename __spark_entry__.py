@@ -245,7 +245,7 @@ def q_reduce_lineage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = code_reduce(
         docs, "grp",
         lambda g: {"total_chars": int(g["n_chars"].sum())},
-        {"total_chars": "int"},
+        {"total_chars": "long"},
         name="agg",
         lineage_keys=["doc_id"],
     )
@@ -256,7 +256,7 @@ def q_reduce_lineage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REDUCE_LINEAGE = """
 WITH g AS (SELECT doc_id % 5 AS grp, doc_id, n_chars FROM documents),
-r AS (SELECT grp, sum(n_chars) AS total_chars FROM g GROUP BY grp)
+r AS (SELECT grp, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM g GROUP BY grp)
 SELECT r.grp, r.total_chars,
        CAST(row_number() OVER (PARTITION BY g.grp ORDER BY g.doc_id) - 1 AS INT) AS pos,
        g.doc_id AS member_doc_id
@@ -371,7 +371,8 @@ def q_value_sample_sem_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
     sampled = value_sample(emb, "grp", method="sem_sim", sample_size=3,
-                           embedding_col="embedding", query_vec=_SEM_SIM_QVEC)
+                           embedding_col="embedding", query_vec=_SEM_SIM_QVEC,
+                           tiebreak_col="vec_id")
     return sampled.select("grp", "vec_id").orderBy("grp", "vec_id")
 
 
@@ -382,7 +383,7 @@ SELECT grp, vec_id FROM (
   SELECT vec_id % 5 AS grp, vec_id,
          row_number() OVER (
            PARTITION BY vec_id % 5
-           ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) DESC
+           ORDER BY list_cosine_similarity(embedding::DOUBLE[], {_QVEC_SQL}) DESC, vec_id
          ) AS rn
   FROM embeddings
 ) WHERE rn <= 3

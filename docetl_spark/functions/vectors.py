@@ -12,10 +12,15 @@ zip_with/aggregate Column folds and NOT row-boxing pandas UDFs:
 * ``arrow_udf`` hands the ListArray's flat values buffer to numpy
   zero-copy: the whole batch reshapes to an (n, dim) matrix for free.
 
-Numerics are BIT-identical to the original sequential folds: every
-accumulation is an explicit ascending-dim ufunc loop (never BLAS matmul,
-which reorders adds and can vary with thread count), so recorded oracle
-values are preserved exactly.
+Numerics are BIT-identical to the original sequential folds FOR
+``array<double>`` inputs: every accumulation is an explicit ascending-dim
+ufunc loop (never BLAS matmul, which reorders adds and can vary with
+thread count), so recorded oracle values are preserved exactly. For
+``array<float>`` inputs the kernels promote elements to float64 BEFORE
+multiplying, while the old folds multiplied in float32 first — an
+intentional precision improvement, but NOT bit-equal to v1 on float32
+columns (every oracled path casts to array<double>, so nothing recorded
+drifts).
 
 Rows where the input vector is NULL yield NULL (the fold's semantics).
 Vectors within a batch must share one dimensionality — true of every

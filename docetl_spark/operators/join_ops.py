@@ -76,19 +76,37 @@ def _cap_comparisons(
         probes += [F.avg(ll).alias("avg_l"), F.avg(rl).alias("avg_r")]
     stats = joined.agg(*probes).collect()[0]
     if stats["n"] <= limit_comparisons:
-        return joined
+        # Under the budget, the whole blocked set IS the output and is
+        # bounded (n <= limit). Pin it executor-locally and release the
+        # cache entry — persist() without unpersist() would pin the blocked
+        # pair set for the session (a steady leak when equijoin runs per
+        # micro-batch in replay/streaming loops).
+        out = joined.localCheckpoint(eager=True)
+        joined.unpersist()
+        return out
+    tie = F.xxhash64(F.col(lkey), F.col(rkey))
     if length_cols:
         use_left = (stats["avg_l"] or 0.0) > (stats["avg_r"] or 0.0)
         stratum, prio = (lkey, rl) if use_left else (rkey, ll)
         n_strata = int(stats["nl"] if use_left else stats["nr"])
+        prio_sort = [prio.desc(), tie]
     else:
-        stratum, prio = lkey, F.lit(0)
+        # No length priority: hash order only. (A literal-int priority like
+        # F.lit(0) is NOT safe here — Dataset.sort resolves integer literals
+        # as ORDER BY ordinals, so lit(0).desc() is "position 0" and fails
+        # analysis.)
+        stratum = lkey
         n_strata = int(stats["nl"])
-    tie = F.xxhash64(F.col(lkey), F.col(rkey))
+        prio_sort = [tie]
     base = max(1, limit_comparisons // max(n_strata, 1))
-    w = Window.partitionBy(stratum).orderBy(prio.desc(), tie)
+    w = Window.partitionBy(stratum).orderBy(*prio_sort)
     capped = joined.withColumn("_cmp_rn", F.row_number().over(w)).filter(F.col("_cmp_rn") <= base + 1)
-    return capped.orderBy(F.col("_cmp_rn"), prio.desc(), tie).limit(limit_comparisons).drop("_cmp_rn")
+    out = capped.orderBy(F.col("_cmp_rn"), *prio_sort).limit(limit_comparisons).drop("_cmp_rn")
+    # Materialize the capped output (<= limit rows) off the cached blocked
+    # set, then drop the cache — same leak rationale as the fast path.
+    out = out.localCheckpoint(eager=True)
+    joined.unpersist()
+    return out
 
 
 def equijoin(

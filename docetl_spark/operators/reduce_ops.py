@@ -218,6 +218,7 @@ def value_sample(
     embedding_col: str | None = None,
     query_vec: list[float] | None = None,
     seed: int = 42,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-group input downsampling before a reduce — the reference's
     ``value_sampling`` (docetl/operations/reduce.py:136-154, :299-322,
@@ -255,7 +256,16 @@ def value_sample(
         if not (embedding_col and query_vec):
             raise ValueError("sem_sim needs embedding_col and query_vec")
         q = F.array(*[F.lit(float(v)) for v in query_vec])
-        order = [cosine(F.col(embedding_col), q).desc()]
+        # deterministic tiebreak (repo convention): tied cosines (duplicate
+        # embeddings in a group) would otherwise make the kept top-k depend
+        # on partitioning. Prefer an explicit id column (oracle-mirrorable);
+        # fall back to a content hash.
+        tie = (
+            F.col(tiebreak_col).asc()
+            if tiebreak_col
+            else F.xxhash64(*[F.col(c) for c in df2.columns]).asc()
+        )
+        order = [cosine(F.col(embedding_col), q).desc(), tie]
     elif method == "cluster":
         if not embedding_col:
             raise ValueError("cluster needs embedding_col")

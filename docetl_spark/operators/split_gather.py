@@ -46,7 +46,16 @@ def split(
     name: str = "split",
 ) -> DataFrame:
     """One row per chunk; adds ``{split_key}_chunk``, ``{name}_id`` (stable
-    per source document), ``{name}_chunk_num`` (1-based)."""
+    per source document), ``{name}_chunk_num`` (1-based).
+
+    Execution contract (NOT a pure transformation): duplicate-row salting
+    runs a narrow hash-count probe job at call time, and when duplicates
+    exist the input plan executes up to 3x (probe + anti + semi). The
+    input plan MUST therefore be deterministic — a non-deterministic
+    upstream (unseeded sample, ``F.rand`` filter) can disagree between the
+    probe and the anti/semi passes and drop or duplicate chunks. Checkpoint
+    (``df.localCheckpoint()``) non-deterministic or expensive upstreams
+    before calling ``split``."""
     # Chunking is pure Column expressions (split/regexp_extract_all +
     # sequence + slice/array_join): stays in codegen, no Python per row.
     # The _token_chunks/_delim_chunks python forms above are the executable

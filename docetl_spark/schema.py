@@ -16,7 +16,7 @@ import re
 from pyspark.sql import types as T
 
 _STRING_ALIASES = {"string", "str", "text", "varchar"}
-_INT_ALIASES = {"integer", "int"}
+_INT_ALIASES = {"integer", "int", "long", "bigint"}
 _NUM_ALIASES = {"number", "float", "double", "decimal"}
 _BOOL_ALIASES = {"boolean", "bool"}
 

@@ -454,6 +454,16 @@ def test_equijoin_limit_comparisons_budget(spark):
     # under budget: untouched
     assert equijoin(left, right, condition=F.col("k_left") == F.col("k_right"),
                     limit_comparisons=1000).count() == 100
+    # capped WITHOUT length cols (regression: the hash-only priority used a
+    # literal-int sort key, which Dataset.sort resolved as an ORDER BY
+    # ordinal and failed analysis)
+    nolen = equijoin(left, right, condition=F.col("k_left") == F.col("k_right"),
+                     limit_comparisons=20)
+    assert nolen.count() == 20
+    n2 = equijoin(left, right, condition=F.col("k_left") == F.col("k_right"),
+                  limit_comparisons=20)
+    assert sorted((r["lid"], r["rid"]) for r in nolen.collect()) == sorted(
+        (r["lid"], r["rid"]) for r in n2.collect())
 
 
 def test_rank_score_fn_batch_scorer(spark):
