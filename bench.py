@@ -193,20 +193,30 @@ def run_replay(master: str, n_events: int, batch_size: int, shuffle_partitions: 
         spark.stop()
 
 
-def run_queries(master: str, sf_dir: str, shuffle_partitions: int, names: list[str]) -> dict:
+def run_queries(master: str, sf_dir: str, shuffle_partitions: int, names: list[str],
+                repeats: int | None = None) -> dict:
+    """Per-query wall time, median of ``repeats`` runs (default 3).
+
+    This VM's shared disk swings single timings ±30-60% (CLAUDE.md
+    measurement discipline), so a single sample per query is not evidence
+    — r3's board carried two 4x outliers that were pure noise. Rounds are
+    interleaved (q1..qN, q1..qN, ...) rather than back-to-back per query so
+    a transient disk stall degrades one ROUND, not every sample of one
+    query.
+    """
     import __spark_entry__ as entrymod
     from docetl_spark.session import get_spark
 
+    repeats = repeats or int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPEATS", "3"))
     spark = get_spark(master=master, shuffle_partitions=shuffle_partitions, app_name="bench_queries")
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
-    for name in names:
-        if name not in qs:
-            continue
-        t0 = time.time()
-        _materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-    return timings
+    samples: dict[str, list[float]] = {name: [] for name in names if name in qs}
+    for _ in range(repeats):
+        for name in samples:
+            t0 = time.time()
+            _materialize(qs[name](spark, sf_dir))
+            samples[name].append(time.time() - t0)
+    return {name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()}
 
 
 def scaling(n_events: int, batch_size: int, n_cores: int = 2, repeats: int = 3) -> dict:
