@@ -773,6 +773,12 @@ FROM documents GROUP BY lang
 
 
 def q_topk_fts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk method=fts — REAL Okapi BM25 since r4 (reference
+    sample.py:516-640 via BM25Okapi: corpus idf with the epsilon
+    negative-idf floor, k1=1.5 b=0.75). The oracle recomputes the whole
+    thing — corpus stats, vocab average idf, per-term idf, per-doc score —
+    in closed-form DuckDB SQL. Two-term query keeps float summation
+    order-free (IEEE addition is commutative)."""
     from docetl_spark.operators import topk
 
     docs = _t(spark, sf_dir, "documents")
@@ -780,15 +786,37 @@ def q_topk_fts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round(F.col("_t_score"), 6).alias("score"), F.col("_t_rank").alias("rk"))
 
 
+# BM25Okapi parity oracle: tok = reference preprocess (lower, non-alnum ->
+# space, split); idf = ln(N-df+0.5)-ln(df+0.5) with negative idfs floored
+# to 0.25*avg(raw idf over the whole vocab); score summed over query terms.
 ORACLE_TOPK_FTS = """
-WITH scored AS (
+WITH tok AS (
   SELECT doc_id,
-         len(list_filter(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)), x -> x = 'spark'))
-           / (1.0 + ln(1.0 + len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) + 1))
-         + len(list_filter(list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''), x -> lower(x)), x -> x = 'shuffle'))
-           / (1.0 + ln(1.0 + len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) + 1))
-         AS raw_score
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
   FROM documents
+),
+corp AS (SELECT count(*) AS n, sum(len(toks)) AS tot FROM tok),
+vocab AS (
+  SELECT w, count(*) AS dfw
+  FROM (SELECT DISTINCT doc_id, unnest(toks) AS w FROM tok) GROUP BY w
+),
+idfs AS (
+  SELECT w, ln((SELECT n FROM corp) - dfw + 0.5) - ln(dfw + 0.5) AS idf FROM vocab
+),
+aidf AS (SELECT avg(idf) AS avg_idf FROM idfs),
+qidf AS (
+  SELECT w, CASE WHEN idf < 0 THEN 0.25 * (SELECT avg_idf FROM aidf) ELSE idf END AS idf
+  FROM idfs WHERE w IN ('spark', 'shuffle')
+),
+scored AS (
+  SELECT doc_id, coalesce(sum(
+           idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / ((SELECT tot FROM corp)::DOUBLE / (SELECT n FROM corp))))
+         ), 0.0) AS raw_score
+  FROM (
+    SELECT t.doc_id, len(t.toks)::DOUBLE AS dl, q.idf,
+           len(list_filter(t.toks, x -> x = q.w))::DOUBLE AS tf
+    FROM tok t CROSS JOIN qidf q
+  ) GROUP BY doc_id
 )
 SELECT doc_id, round(raw_score, 6) AS score, CAST(row_number() OVER (ORDER BY raw_score DESC, doc_id) AS INT) AS rk
 FROM scored ORDER BY raw_score DESC, doc_id LIMIT 15

@@ -7,6 +7,8 @@ in whole-stage codegen over 100 TB without touching Python."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -112,12 +114,116 @@ def fingerprint(text: Column | str, normalize: bool = True) -> Column:
     return F.xxhash64(c)
 
 
+def fts_tokens(text: Column | str) -> Column:
+    """The reference's FTS ``preprocess_text`` (sample.py:588-597) as a
+    Column: lowercase, non-[a-z0-9] runs to spaces, whitespace split.
+    Same regex semantics in Java and DuckDB/RE2 (oracle parity)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def _preprocess_query(query: str) -> list[str]:
+    import re as _re
+
+    return [t for t in _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", query.lower())).strip().split() if t]
+
+
+def bm25_score(
+    df,
+    text_col: str,
+    query: str,
+    k1: float = 1.5,
+    b: float = 0.75,
+    epsilon: float = 0.25,
+) -> Column:
+    """Okapi BM25 relevance of ``text_col`` to ``query`` — exact semantics
+    of the reference's scorer (sample.py:516-640 uses ``rank_bm25
+    .BM25Okapi``; published algorithm):
+
+    * ``idf(t) = ln(N - df_t + 0.5) - ln(df_t + 0.5)``; NEGATIVE idfs are
+      floored to ``epsilon * average_idf`` where ``average_idf`` is the
+      mean raw idf over the WHOLE corpus vocabulary (BM25Okapi's
+      eps-correction); terms absent from the corpus score 0
+    * ``score = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
+      the sum over query TOKENS (a repeated query term contributes once
+      per occurrence, as in ``get_scores``)
+    * no TF-IDF fallback: the reference only falls back when the
+      ``rank_bm25`` dependency is missing; here BM25 is closed-form SQL
+
+    Execution contract: corpus statistics (N, avgdl, per-term df, vocab
+    average idf) cost TWO eager aggregate jobs at call time — a narrow
+    count/sum over token counts, then a word-count shuffle over distinct
+    per-doc tokens (classic map-side-combined wordcount; the only
+    collected values are ~|query| scalars). The returned Column then
+    scores each row in one pass: a single ``F.aggregate`` fold counts all
+    query terms at once and the ``finish`` lambda emits the final score,
+    so the document is tokenized exactly once per row (N separate
+    tf-expressions would re-tokenize per term — not CSE'd)."""
+    terms = _preprocess_query(query)
+    if not terms:
+        return F.lit(0.0)
+    uniq = list(dict.fromkeys(terms))
+
+    toks = fts_tokens(text_col)
+    # job 1: corpus size + average document length (narrow column scan)
+    r1 = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("tot")
+    ).collect()[0]
+    n_docs, total_len = int(r1["n"] or 0), int(r1["tot"] or 0)
+    if n_docs == 0:
+        return F.lit(0.0)
+    avgdl = (total_len / n_docs) or 1.0
+    # job 2: per-word document frequency -> query-term dfs + vocab avg idf
+    vocab = (
+        df.select(F.explode(F.array_distinct(toks)).alias("_w"))
+        .groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    idf_raw = F.log(F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5)) - F.log(F.col("_df") + F.lit(0.5))
+    r2 = vocab.agg(
+        F.avg(idf_raw).alias("avg_idf"),
+        *[F.max(F.when(F.col("_w") == t, F.col("_df"))).alias(f"df_{i}") for i, t in enumerate(uniq)],
+    ).collect()[0]
+    avg_idf = float(r2["avg_idf"] or 0.0)
+    eps_idf = epsilon * avg_idf
+    idf: dict[str, float] = {}
+    for i, t in enumerate(uniq):
+        df_t = r2[f"df_{i}"]
+        if df_t is None:
+            idf[t] = 0.0  # term not in corpus: BM25Okapi scores it 0
+        else:
+            raw = math.log(n_docs - int(df_t) + 0.5) - math.log(int(df_t) + 0.5)
+            idf[t] = eps_idf if raw < 0 else raw
+
+    zero = F.struct(
+        F.array_repeat(F.lit(0), len(uniq)).alias("c"), F.lit(0).alias("n")
+    )
+
+    def step(acc, t):
+        hits = F.array(*[(t == F.lit(u)).cast("int") for u in uniq])
+        return F.struct(
+            F.zip_with(acc["c"], hits, lambda a, h: a + h).alias("c"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    def finish(acc):
+        dl = acc["n"].cast("double")
+        len_norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl)))
+        s = F.lit(0.0)
+        for t in terms:  # query order, duplicates included (get_scores)
+            tf = acc["c"][uniq.index(t)].cast("double")
+            s = s + F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + len_norm)
+        return s
+
+    return F.aggregate(toks, zero, step, finish)
+
+
 def fts_score(text: Column, query: str) -> Column:
-    """Deterministic term-frequency relevance: sum over query terms of
-    tf(term) / (1 + log(1 + doc_len)). A seedless, corpus-independent
-    stand-in for the reference's BM25 ordering (sample.py:516-640) — same
-    monotonicity in tf, same length dampening, exactly reproducible in SQL
-    oracles."""
+    """Corpus-INDEPENDENT term-frequency proxy: sum over query terms of
+    tf(term) / (1 + log(1 + doc_len)). Same monotonicity in tf and length
+    dampening as BM25, but no idf — use ``bm25_score`` for reference
+    parity (this proxy remains for per-group/streaming contexts where a
+    corpus-stats scan per call is unaffordable)."""
     toks = F.transform(tokens(text), lambda t: F.lower(t))
     n = F.size(toks) + F.lit(1)
     terms = [t for t in query.lower().split() if t]

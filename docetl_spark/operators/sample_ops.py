@@ -153,8 +153,10 @@ def topk(
     """Top-k rows by a score (topk.py:12-235 facade).
 
     Methods: ``score`` (existing column/expression), ``embedding``
-    (cosine similarity to ``query_vec``), ``fts`` (deterministic tf-based
-    text relevance — see functions.text.fts_score), ``llm_compare``
+    (cosine similarity to ``query_vec``), ``fts`` (Okapi BM25 with corpus
+    IDF — reference parity, see functions.text.bm25_score; two eager
+    stats jobs), ``fts_simple`` (corpus-independent tf proxy, no stats
+    jobs), ``llm_compare``
     (delegates to the rank operator exactly like the reference facade
     topk.py:182-235: initial ordering from ``initial_method`` — one of
     score/embedding/fts, the reference hardwires embedding — refined by
@@ -176,6 +178,10 @@ def topk(
         if base == "embedding":
             initial = cosine_sim_col(embedding_col, list(query_vec))
         elif base == "fts":
+            from docetl_spark.functions.text import bm25_score
+
+            initial = bm25_score(df, text_col, query)
+        elif base == "fts_simple":
             from docetl_spark.functions.text import fts_score
 
             initial = fts_score(F.col(text_col), query)
@@ -194,6 +200,16 @@ def topk(
     elif method == "embedding":
         score = cosine_sim_col(embedding_col, list(query_vec))
     elif method == "fts":
+        # Real BM25 with corpus IDF, exactly the reference's BM25Okapi
+        # scorer (sample.py:516-640) — costs two eager stats jobs at call
+        # time (see functions.text.bm25_score execution contract)
+        from docetl_spark.functions.text import bm25_score
+
+        score = bm25_score(df, text_col, query)
+    elif method == "fts_simple":
+        # corpus-independent tf/log-length proxy (no stats jobs): for
+        # per-group or streaming contexts where a corpus scan per call is
+        # unaffordable
         from docetl_spark.functions.text import fts_score
 
         score = fts_score(F.col(text_col), query)

@@ -139,6 +139,62 @@ def test_fts_score_ordering(spark):
     assert rows[2]["s"] == 0.0
 
 
+def _bm25_okapi_golden(corpus: list[list[str]], query: list[str], k1=1.5, b=0.75, epsilon=0.25):
+    """Pure-python executable spec of BM25Okapi (the published algorithm
+    the reference's sample.py:516-640 delegates to) — golden mirror for
+    bm25_score."""
+    import math
+
+    n = len(corpus)
+    avgdl = sum(len(d) for d in corpus) / n
+    df: dict[str, int] = {}
+    for d in corpus:
+        for w in set(d):
+            df[w] = df.get(w, 0) + 1
+    idf = {w: math.log(n - f + 0.5) - math.log(f + 0.5) for w, f in df.items()}
+    avg_idf = sum(idf.values()) / len(idf)
+    idf = {w: (epsilon * avg_idf if v < 0 else v) for w, v in idf.items()}
+    out = []
+    for d in corpus:
+        s = 0.0
+        for q in query:
+            tf = d.count(q)
+            s += idf.get(q, 0.0) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+        out.append(s)
+    return out
+
+
+def test_bm25_matches_okapi_golden(spark):
+    from docetl_spark.functions.text import bm25_score, fts_tokens
+
+    # 'common' is in 5/6 docs -> NEGATIVE raw idf -> exercises the
+    # epsilon * average_idf floor; 'ghost' is absent -> idf 0; query
+    # repeats 'spark' -> per-occurrence contribution
+    texts = [
+        "Spark shuffle common!",
+        "spark spark spark common",
+        "common words only here",
+        "shuffle common again",
+        "nothing relevant",
+        "spark common",
+    ]
+    query = "spark spark shuffle ghost"
+    corpus = [
+        [t for t in __import__("re").sub(r"[^a-z0-9\s]", " ", s.lower()).split() if t]
+        for s in texts
+    ]
+    golden = _bm25_okapi_golden(corpus, query.split())
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    rows = (
+        df.withColumn("s", bm25_score(df, "text", query))
+        .orderBy("id").collect()
+    )
+    for r, g in zip(rows, golden):
+        assert abs(r["s"] - g) < 1e-9, (r["id"], r["s"], g)
+    # empty query scores 0
+    assert df.withColumn("s", bm25_score(df, "text", "!!!")).agg(F.sum("s")).collect()[0][0] == 0.0
+
+
 def test_multimodal_stub_and_plumbing(spark):
     data = [
         Row(id=1, blob=bytes([1, 2, 3, 4]), meta=Row(media_type="image", format="fake",
