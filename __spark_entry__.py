@@ -495,6 +495,80 @@ FROM w
 """
 
 
+def q_doc_chunking_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc-chunking macro (reference doc_chunking.py:300-428
+    ``DocumentChunkingDirective.apply`` + map_optimizer/optimizer.py:
+    240-260): one ``chunked_map`` config expands to
+    split -> gather -> map -> reduce, here executed end-to-end through
+    the composed plan. The chunk map measures the GATHERED rendering
+    (so the oracle proves the full composition, not just split), the
+    reduce recombines per source document."""
+    from docetl_spark.plans.macros import rewrite_chunked_maps
+    from docetl_spark.plans.pipeline import _apply_op
+
+    docs = _t(spark, sf_dir, "documents")
+    ops_list = rewrite_chunked_maps([{
+        "op": "chunked_map", "name": "kw",
+        "split_key": "text", "method": "delimiter",
+        "delimiter": " ", "num_splits_to_group": 40,
+        "gather_config": {"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
+        "sub_expr": {
+            "rc": "length(text_chunk_rendered)",
+            "hits": "size(regexp_extract_all(text_chunk_rendered, 'data', 0))",
+        },
+        "reduce_aggs": {
+            "doc_id": "max(doc_id)",
+            "n_chunks": "count(*)",
+            "total_hits": "sum(hits)",
+            "total_rc": "sum(rc)",
+        },
+    }])
+    df = docs
+    for cfg in ops_list:
+        df = _apply_op(df, cfg, {}, spark)
+    return df.select("doc_id", "n_chunks", "total_hits", "total_rc")
+
+
+# the chunks/w CTEs replicate ORACLE_GATHER's rendering exactly; on top the
+# macro's map+reduce is plain SQL per source document
+ORACLE_DOC_CHUNKING = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(gs AS INT) AS chunk_num,
+         array_to_string(toks[(gs-1)*40+1 : gs*40], ' ') AS chunk
+  FROM (SELECT doc_id, toks, unnest(range(1, CAST(ceil(len(toks)/40.0) AS BIGINT)+1)) AS gs FROM t)
+),
+w AS (
+  SELECT doc_id, chunk_num, chunk,
+         lag(chunk)  OVER win AS prev_chunk,
+         lead(chunk) OVER win AS next_chunk,
+         sum(length(chunk)) OVER (PARTITION BY doc_id ORDER BY chunk_num
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS skip_before,
+         sum(length(chunk)) OVER (PARTITION BY doc_id ORDER BY chunk_num
+                                  ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS skip_after
+  FROM chunks WINDOW win AS (PARTITION BY doc_id ORDER BY chunk_num)
+),
+rendered AS (
+  SELECT doc_id, concat_ws(chr(10),
+    CASE WHEN prev_chunk IS NOT NULL THEN '--- Previous Context ---' END,
+    CASE WHEN skip_before IS NOT NULL THEN '[... ' || skip_before || ' characters skipped ...]' END,
+    prev_chunk,
+    CASE WHEN prev_chunk IS NOT NULL THEN '--- End Previous Context ---' END,
+    '--- Begin Main Chunk ---', chunk, '--- End Main Chunk ---',
+    CASE WHEN next_chunk IS NOT NULL THEN '--- Next Context ---' END,
+    next_chunk,
+    CASE WHEN skip_after IS NOT NULL THEN '[... ' || skip_after || ' characters skipped ...]' END,
+    CASE WHEN next_chunk IS NOT NULL THEN '--- End Next Context ---' END
+  ) AS rendered
+  FROM w
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum((length(rendered) - length(replace(rendered, 'data', ''))) // 4) AS BIGINT) AS total_hits,
+       CAST(sum(length(rendered)) AS BIGINT) AS total_rc
+FROM rendered GROUP BY doc_id
+"""
+
+
 def q_gather_hierarchy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gather with HIERARCHICAL section headers (reference
     gather.py:262-327): every third chunk carries one {header, level}
@@ -1595,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_majority_canon": q_resolve_majority_canon,
         "split_chunks": q_split_chunks,
         "gather_rendered": q_gather_rendered,
+        "doc_chunking_macro": q_doc_chunking_macro,
         "gather_hierarchy_docs": q_gather_hierarchy_docs,
         "unnest_doc_tokens": q_unnest_doc_tokens,
         "extract_regex_docs": q_extract_regex_docs,
@@ -1647,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_majority_canon": ORACLE_RESOLVE,
         "split_chunks": ORACLE_SPLIT,
         "gather_rendered": ORACLE_GATHER,
+        "doc_chunking_macro": ORACLE_DOC_CHUNKING,
         "gather_hierarchy_docs": ORACLE_GATHER_HIER,
         "unnest_doc_tokens": ORACLE_UNNEST,
         "extract_regex_docs": ORACLE_EXTRACT,

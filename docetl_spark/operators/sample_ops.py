@@ -46,6 +46,11 @@ def sample(
     stddevs; keep inside/outside), ``top_embedding`` handled by ``topk``.
     Stratification: ``stratify_key`` + int/fraction or ``samples_per_group``.
     """
+    if isinstance(stratify_key, (list, tuple)) and not (method == "uniform" and samples_per_group):
+        # composite strata (the doc-chunking macro's [split_id, extra])
+        # are only defined for the per-group-quota path; the fraction and
+        # proportional-count paths key joins on a single column
+        raise ValueError("list stratify_key requires method='uniform' with samples_per_group")
     if method == "uniform":
         if stratify_key and samples_per_group:
             w = Window.partitionBy(stratify_key).orderBy(_hash_order(df, seed))

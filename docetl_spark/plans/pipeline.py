@@ -107,8 +107,9 @@ def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> 
         )
     if op == "sample":
         return ops.sample(
-            df, method=cfg.get("method", "uniform"), samples=cfg["samples"],
+            df, method=cfg.get("method", "uniform"), samples=cfg.get("samples"),
             stratify_key=cfg.get("stratify_key"), seed=cfg.get("random_state", 42),
+            samples_per_group=cfg.get("samples_per_group"),
         )
     if op == "topk":
         return ops.topk(
@@ -256,7 +257,9 @@ class Pipeline:
                 df = last
             else:
                 raise ValueError(f"step {name!r}: unknown input {src!r}")
-            for op_cfg in step.get("operations", []):
+            from docetl_spark.plans.macros import rewrite_chunked_maps
+
+            for op_cfg in rewrite_chunked_maps(step.get("operations", [])):
                 df = _apply_op(df, op_cfg, datasets, spark)
             if ckpt:
                 df.write.mode("overwrite").parquet(ckpt)

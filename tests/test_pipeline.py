@@ -167,3 +167,54 @@ def test_pipeline_extract_line_number_and_rank_likert(spark, tmp_path):
     assert "text_extracted_ptr" in out.columns
     scores = [r["_lk_score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_pipeline_chunked_map_macro(spark, tmp_path):
+    """Doc-chunking macro (reference doc_chunking.py:300-428): one
+    chunked_map YAML op expands to split -> gather -> [sample] -> map ->
+    reduce and runs end-to-end. Without sampling, per-doc totals must
+    equal a direct recomputation; with per-group sampling, every source
+    doc keeps at most samples_per_group chunks, deterministically."""
+    from pyspark.sql import functions as F
+
+    base_cfg = {
+        "op": "chunked_map", "name": "kw",
+        "split_key": "text", "method": "delimiter",
+        "delimiter": " ", "num_splits_to_group": 25,
+        "sub_expr": {"rc": "length(text_chunk_rendered)",
+                     "n_tok": "size(split(text_chunk, ' '))"},
+        "reduce_aggs": {"doc_id": "max(doc_id)", "n_chunks": "count(*)",
+                        "total_rc": "sum(rc)"},
+    }
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [{"name": "s1", "input": "docs", "operations": [
+            {"op": "filter", "where": "doc_id < 40"}, dict(base_cfg)]}],
+    }
+    out = Pipeline.from_yaml(_write(tmp_path, cfg)).run(spark)
+    assert set(out.columns) == {"split_kw_id", "doc_id", "n_chunks", "total_rc"}
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 40
+    # direct recomputation of chunk counts (split semantics)
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).filter("doc_id < 40")
+    want = {
+        r["doc_id"]: -(-r["n"] // 25)
+        for r in docs.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    for d, r in rows.items():
+        assert r["n_chunks"] == max(1, want[d]), d
+        assert r["total_rc"] > 0
+
+    # sampling branch: stratified by split id, 2 chunks max per doc
+    samp_cfg = dict(base_cfg)
+    samp_cfg["sampling"] = {"samples_per_group": 2, "random_state": 7}
+    samp_cfg["reduce_aggs"] = {"doc_id": "max(doc_id)", "n_chunks": "count(*)"}
+    cfg["steps"][0]["operations"][1] = samp_cfg
+    out2 = Pipeline.from_yaml(_write(tmp_path, cfg)).run(spark)
+    rows2 = {r["doc_id"]: r["n_chunks"] for r in out2.collect()}
+    assert len(rows2) == 40
+    for d, n in rows2.items():
+        assert 1 <= n <= 2 and n == min(2, rows[d]["n_chunks"]), d
+    # deterministic across runs
+    out3 = Pipeline.from_yaml(_write(tmp_path, cfg)).run(spark)
+    assert {r["doc_id"]: r["n_chunks"] for r in out3.collect()} == rows2
