@@ -10,11 +10,13 @@ is embarrassingly parallel; downstream repartitioning is the pipeline's
 choice). Row-at-a-time Python inside the batch is inherent to parsing —
 the same documented slow-path exception as functions/multimodal.py.
 
-Deterministic parsers run real logic (txt/json file readers, paragraph /
-line / sentence splitters). Heavy-codec parsers (docx/xlsx/pptx/whisper,
-parsing_tools.py:53-225) keep the reference's exact signature but raise
-``NotImplementedError`` unless their optional library imports — this
-container carries no document codecs, mirroring functions/multimodal.py.
+Deterministic parsers run real logic: txt/json file readers, paragraph /
+line / sentence splitters, and stdlib zip+XML readers for the three OOXML
+office formats (docx/xlsx/pptx — parsing_tools.py:100-226 semantics
+without the python-docx/openpyxl/python-pptx dependencies). Only parsers
+needing true heavyweight codecs (whisper speech-to-text,
+parsing_tools.py:53) keep the reference signature behind a
+``NotImplementedError`` gate, mirroring functions/multimodal.py.
 """
 
 from __future__ import annotations
@@ -82,6 +84,216 @@ def word_windows(
     return [{output_key: " ".join(toks[i : i + window])} for i in range(0, len(toks), stride)]
 
 
+# -- OOXML parsers (stdlib zipfile + xml.etree; no optional libraries) --------
+#
+# docx/xlsx/pptx are zip archives of XML parts, so the reference's
+# python-docx/openpyxl/python-pptx extraction semantics
+# (parsing_tools.py:100-226) are reproducible with the stdlib. Element
+# matching uses the `{*}tag` namespace wildcard (Python >= 3.8), so any
+# producer's namespace prefixes work.
+
+def _zip_xml(path: str, member: str):
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as zf:
+        return ET.fromstring(zf.read(member))
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _docx_paragraph_text(p) -> str:
+    # python-docx paragraph.text: concatenated run text, with w:tab -> \t
+    # and w:br / w:cr -> \n
+    parts: list[str] = []
+    for el in p.iter():
+        name = _local(el.tag)
+        if name == "t":
+            parts.append(el.text or "")
+        elif name == "tab":
+            parts.append("\t")
+        elif name in ("br", "cr"):
+            parts.append("\n")
+    return "".join(parts)
+
+
+def docx_to_string(item: dict, input_key: str = "path", output_key: str = "text") -> list[dict]:
+    """Word document -> one row of text: body-level paragraphs joined by
+    newlines (reference parsing_tools.py:172-186 via python-docx
+    ``Document.paragraphs``, which walks top-level ``w:p`` only — table
+    cell text is intentionally excluded, matching the library)."""
+    root = _zip_xml(item[input_key], "word/document.xml")
+    body = next((el for el in root if _local(el.tag) == "body"), root)
+    paras = [_docx_paragraph_text(p) for p in body if _local(p.tag) == "p"]
+    return [{output_key: "\n".join(paras)}]
+
+
+def pptx_to_string(
+    item: dict, input_key: str = "path", output_key: str = "text",
+    doc_per_slide: bool = False,
+) -> list[dict]:
+    """PowerPoint -> text per presentation (or one row per slide with
+    ``doc_per_slide``): for each slide in numeric order, every
+    text-bearing shape (``txBody``) contributes its paragraphs joined by
+    newlines (reference parsing_tools.py:189-226 via python-pptx
+    ``shape.text`` semantics)."""
+    import zipfile
+
+    path = item[input_key]
+    with zipfile.ZipFile(path) as zf:
+        import re as _re
+
+        slides = sorted(
+            (m for m in zf.namelist() if _re.fullmatch(r"ppt/slides/slide\d+\.xml", m)),
+            key=lambda m: int(_re.search(r"(\d+)", m).group(1)),
+        )
+    out: list[dict] = []
+    all_shapes: list[str] = []
+    for member in slides:
+        root = _zip_xml(path, member)
+        shape_texts = []
+        for tx in root.iter():
+            if _local(tx.tag) != "txBody":
+                continue
+            paras = [
+                "".join(t.text or "" for t in p.iter() if _local(t.tag) == "t")
+                for p in tx if _local(p.tag) == "p"
+            ]
+            shape_texts.append("\n".join(paras))
+        if doc_per_slide:
+            out.append({output_key: "\n".join(shape_texts)})
+        else:
+            all_shapes.extend(shape_texts)
+    if not doc_per_slide:
+        out = [{output_key: "\n".join(all_shapes)}]
+    return out
+
+
+def _xlsx_cell_value(c, shared: list[str]):
+    t = c.get("t")
+    if t == "inlineStr":
+        return "".join(x.text or "" for x in c.iter() if _local(x.tag) == "t")
+    v = next((x for x in c if _local(x.tag) == "v"), None)
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "str":
+        return v.text
+    if t == "b":
+        return bool(int(v.text))
+    # numeric: int when integral, float otherwise (openpyxl typing)
+    txt = v.text
+    try:
+        f = float(txt)
+    except ValueError:
+        return txt
+    return int(f) if f.is_integer() and "e" not in txt.lower() and "." not in txt else f
+
+
+def _xlsx_sheet_grid(root, shared: list[str]) -> list[list]:
+    """Sheet XML -> dense row-major grid (None for absent cells)."""
+    import re as _re
+
+    cells: dict[tuple[int, int], object] = {}
+    max_r = max_c = 0
+    for row in root.iter():
+        if _local(row.tag) != "row":
+            continue
+        for c in row:
+            if _local(c.tag) != "c":
+                continue
+            ref = c.get("r") or ""
+            m = _re.match(r"([A-Z]+)(\d+)", ref)
+            if not m:
+                continue
+            col = 0
+            for ch in m.group(1):
+                col = col * 26 + (ord(ch) - 64)
+            r = int(m.group(2))
+            cells[(r, col)] = _xlsx_cell_value(c, shared)
+            max_r, max_c = max(max_r, r), max(max_c, col)
+    return [[cells.get((r, c)) for c in range(1, max_c + 1)] for r in range(1, max_r + 1)]
+
+
+def xlsx_to_string(
+    item: dict, input_key: str = "path", output_key: str = "text",
+    orientation: str = "col", col_order: list[str] | None = None,
+    doc_per_sheet: bool = False,
+) -> list[dict]:
+    """Excel -> string form (reference parsing_tools.py:100-154):
+    ``col`` orientation emits ``header: v1\\nv2...`` per column with a
+    blank line between columns; ``row`` emits ``h1: v1 | h2: v2`` per
+    data row (None headers skipped). ``col_order`` keeps only the named
+    headers, in that order (the reference's filter compares header names
+    against an iter_cols generator and so never matches — semantics-fixed
+    here rather than bug-copied). ``doc_per_sheet`` fans out one row per
+    worksheet, else the first sheet only."""
+    import zipfile
+
+    path = item[input_key]
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            sroot = _zip_xml(path, "xl/sharedStrings.xml")
+            for si in sroot:
+                if _local(si.tag) == "si":
+                    shared.append("".join(t.text or "" for t in si.iter() if _local(t.tag) == "t"))
+        # workbook sheet order -> worksheet parts via the rels map
+        sheet_members: list[str] = []
+        if "xl/workbook.xml" in names and "xl/_rels/workbook.xml.rels" in names:
+            rels_root = _zip_xml(path, "xl/_rels/workbook.xml.rels")
+            rid_to_target = {
+                rel.get("Id"): rel.get("Target") for rel in rels_root if _local(rel.tag) == "Relationship"
+            }
+            wb = _zip_xml(path, "xl/workbook.xml")
+            for el in wb.iter():
+                if _local(el.tag) != "sheet":
+                    continue
+                rid = next((v for k, v in el.attrib.items() if _local(k) == "id"), None)
+                target = rid_to_target.get(rid)
+                if target:
+                    sheet_members.append("xl/" + target.lstrip("/") if not target.startswith("xl/") else target)
+        if not sheet_members:
+            import re as _re
+
+            sheet_members = sorted(
+                (m for m in names if _re.fullmatch(r"xl/worksheets/sheet\d+\.xml", m)),
+                key=lambda m: int(_re.search(r"(\d+)", m).group(1)),
+            )
+
+    def process(member: str) -> str:
+        grid = _xlsx_sheet_grid(_zip_xml(path, member), shared)
+        if not grid:
+            return ""
+        headers = list(grid[0])
+        cols = list(range(len(headers)))
+        if col_order:
+            by_name = {h: i for i, h in enumerate(headers)}
+            cols = [by_name[h] for h in col_order if h in by_name]
+            headers = [headers[i] for i in cols]
+        result: list[str] = []
+        if orientation == "col":
+            for h_pos, ci in enumerate(cols):
+                column_values = [row[ci] if ci < len(row) else None for row in grid[1:]]
+                result.append(f"{headers[h_pos]}: " + "\n".join(map(str, column_values)))
+                result.append("")  # blank line between columns
+        else:
+            for row in grid[1:]:
+                pairs = [
+                    (headers[h_pos], row[ci] if ci < len(row) else None)
+                    for h_pos, ci in enumerate(cols) if headers[h_pos]
+                ]
+                result.append(" | ".join(f"{h}: {v}" for h, v in pairs))
+        return "\n".join(result)
+
+    members = sheet_members if doc_per_sheet else sheet_members[:1]
+    return [{output_key: process(m)} for m in members]
+
+
 # -- heavy-codec parsers (reference signatures, gated on optional libs) -------
 
 def _codec_stub(name: str, module: str) -> ParserFn:
@@ -101,9 +313,6 @@ def _codec_stub(name: str, module: str) -> ParserFn:
     return parser
 
 
-docx_to_string = _codec_stub("docx_to_string", "docx")       # parsing_tools.py:172
-xlsx_to_string = _codec_stub("xlsx_to_string", "openpyxl")   # parsing_tools.py:100
-pptx_to_string = _codec_stub("pptx_to_string", "pptx")       # parsing_tools.py:189
 whisper_speech_to_text = _codec_stub("whisper_speech_to_text", "whisper")  # :53
 
 PARSERS: dict[str, ParserFn] = {

@@ -52,11 +52,140 @@ def test_user_defined_tool_and_kwargs(spark):
 
 
 def test_codec_stubs_raise_not_implemented():
-    for name in ("docx_to_string", "xlsx_to_string", "pptx_to_string", "whisper_speech_to_text"):
-        with pytest.raises((NotImplementedError,)):
-            PARSERS[name]({"path": "/nonexistent"})
+    with pytest.raises((NotImplementedError,)):
+        PARSERS["whisper_speech_to_text"]({"path": "/nonexistent"})
     with pytest.raises(ValueError, match="not found"):
         get_parser("no_such_tool")
+
+
+# -- OOXML fixture writers (minimal valid zip+XML parts) ----------------------
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_PKR = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+def _make_docx(path):
+    import zipfile
+
+    doc = f"""<w:document xmlns:w="{_W}"><w:body>
+      <w:p><w:r><w:t>Hello</w:t></w:r><w:r><w:t xml:space="preserve"> world</w:t></w:r></w:p>
+      <w:p><w:r><w:t>tab</w:t><w:tab/><w:t>after</w:t><w:br/><w:t>newline</w:t></w:r></w:p>
+      <w:p/>
+      <w:tbl><w:tr><w:tc><w:p><w:r><w:t>IN TABLE</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+      <w:p><w:r><w:t>last</w:t></w:r></w:p>
+    </w:body></w:document>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("word/document.xml", doc)
+
+
+def _make_pptx(path):
+    import zipfile
+
+    def slide(*shapes):
+        body = "".join(
+            f'<p:sp><p:txBody xmlns:a="{_A}">'
+            + "".join(f"<a:p><a:r><a:t>{t}</a:t></a:r></a:p>" for t in paras)
+            + "</p:txBody></p:sp>"
+            for paras in shapes
+        )
+        return f'<p:sld xmlns:p="{_P}"><p:cSld><p:spTree>{body}</p:spTree></p:cSld></p:sld>'
+
+    with zipfile.ZipFile(path, "w") as z:
+        # slide10 before slide2 in the archive: numeric ordering must win
+        z.writestr("ppt/slides/slide10.xml", slide(["ten"]))
+        z.writestr("ppt/slides/slide1.xml", slide(["title", "subtitle"], ["note one"]))
+        z.writestr("ppt/slides/slide2.xml", slide(["second slide"]))
+
+
+def _make_xlsx(path):
+    import zipfile
+
+    shared = (
+        f'<sst xmlns="{_S}"><si><t>name</t></si><si><t>score</t></si>'
+        "<si><t>alice</t></si><si><t>bob</t></si></sst>"
+    )
+    sheet1 = f"""<worksheet xmlns="{_S}"><sheetData>
+      <row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+      <row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>10</v></c></row>
+      <row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>2.5</v></c></row>
+    </sheetData></worksheet>"""
+    sheet2 = f"""<worksheet xmlns="{_S}"><sheetData>
+      <row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>
+      <row r="2"><c r="A2" t="b"><v>1</v></c></row>
+    </sheetData></worksheet>"""
+    wb = (
+        f'<workbook xmlns="{_S}" xmlns:r="{_R}"><sheets>'
+        '<sheet name="S1" sheetId="1" r:id="rId1"/>'
+        '<sheet name="S2" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    rels = (
+        f'<Relationships xmlns="{_PKR}">'
+        '<Relationship Id="rId1" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Target="worksheets/sheet2.xml"/></Relationships>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", shared)
+        z.writestr("xl/worksheets/sheet1.xml", sheet1)
+        z.writestr("xl/worksheets/sheet2.xml", sheet2)
+
+
+def test_docx_parser(tmp_path):
+    p = str(tmp_path / "d.docx")
+    _make_docx(p)
+    [row] = PARSERS["docx_to_string"]({"path": p})
+    # body paragraphs only (python-docx Document.paragraphs excludes
+    # table cells); tab -> \t, br -> \n inside a paragraph; empty
+    # paragraph kept as an empty line
+    assert row["text"] == "Hello world\ntab\tafter\nnewline\n\nlast"
+    assert "IN TABLE" not in row["text"]
+
+
+def test_pptx_parser(tmp_path):
+    p = str(tmp_path / "s.pptx")
+    _make_pptx(p)
+    [row] = PARSERS["pptx_to_string"]({"path": p})
+    # numeric slide order (1, 2, 10), shapes joined by newlines
+    assert row["text"] == "title\nsubtitle\nnote one\nsecond slide\nten"
+    per_slide = PARSERS["pptx_to_string"]({"path": p}, doc_per_slide=True)
+    assert [r["text"] for r in per_slide] == ["title\nsubtitle\nnote one", "second slide", "ten"]
+
+
+def test_xlsx_parser(tmp_path):
+    p = str(tmp_path / "t.xlsx")
+    _make_xlsx(p)
+    # col orientation (reference default): "header: v1\nv2" + blank line
+    [row] = PARSERS["xlsx_to_string"]({"path": p})
+    assert row["text"] == "name: alice\nbob\n\nscore: 10\n2.5\n"
+    # row orientation with typed values (int 10, float 2.5)
+    [rrow] = PARSERS["xlsx_to_string"]({"path": p}, orientation="row")
+    assert rrow["text"] == "name: alice | score: 10\nname: bob | score: 2.5"
+    # col_order subsets + reorders
+    [orow] = PARSERS["xlsx_to_string"]({"path": p}, orientation="row", col_order=["score"])
+    assert orow["text"] == "score: 10\nscore: 2.5"
+    # doc_per_sheet fans out; sheet2 exercises inlineStr + bool
+    sheets = PARSERS["xlsx_to_string"]({"path": p}, doc_per_sheet=True)
+    assert len(sheets) == 2
+    assert sheets[1]["text"] == "k: True\n"
+
+
+def test_office_parsers_through_fanout(spark, tmp_path):
+    d, s = str(tmp_path / "a.docx"), str(tmp_path / "b.pptx")
+    _make_docx(d)
+    _make_pptx(s)
+    df = spark.createDataFrame([(s,)], "path string")
+    out = apply_parsing(df, [{"function": "pptx_to_string", "doc_per_slide": True}])
+    rows = out.collect()
+    assert len(rows) == 3  # 1 -> N slide fan-out through mapInPandas
+    assert rows[0]["path"] == s  # original columns carried through
+    df2 = spark.createDataFrame([(d,)], "path string")
+    [drow] = apply_parsing(df2, [{"function": "docx_to_string"}]).collect()
+    assert drow["text"].startswith("Hello world")
 
 
 def test_pipeline_dataset_parsing_config(spark, tmp_path, txt_files):
