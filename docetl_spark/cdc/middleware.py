@@ -228,6 +228,38 @@ def calibrate(
     return make_fn(cfg), cfg
 
 
+def observed(fn: BatchFn, name: str, config_key: str = "") -> BatchFn:
+    """Emit the ``_observability_{name}`` system column (reference
+    map.py:415-419 records the rendered prompt per output row when
+    ``enable_observability`` is set; reduce.py:345 likewise). The
+    engine's unit of semantic work is the Arrow batch, so the recorded
+    provenance is the batch-level analogue of the prompt: stage name,
+    stage config key, the content fingerprint of the input batch (the
+    same key ``cached`` stores results under — so an observability value
+    links an output row to its cache entry), and the batch row count,
+    serialized as one JSON string per row.
+
+    Compose INSIDE ``cached`` (``cached(observed(fn, ...), ...)``) so the
+    column is part of the cached result, or outside to re-stamp on every
+    run. The declared ``as_stage`` schema must include
+    ``_observability_{name} string``."""
+    import json
+
+    col = f"_observability_{name}"
+
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        fingerprint = _batch_key(pdf, config_key)
+        out = fn(pdf).copy()
+        out[col] = json.dumps(
+            {"stage": name, "config_key": config_key,
+             "batch_fingerprint": fingerprint, "rows_in": int(len(pdf))},
+            sort_keys=True,
+        )
+        return out
+
+    return wrapped
+
+
 def as_stage(fn: BatchFn, schema) -> Callable:
     """Lift a (possibly wrapped) batch fn into a merge-apply TransformStage:
     ``df -> df.mapInPandas(fn)`` with an explicit output schema."""

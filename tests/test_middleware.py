@@ -230,3 +230,32 @@ def test_calibrate_improves_config_then_converges():
     assert cfg["scale"] == 8.0  # 2*8=16 mean>=10 at scale 8 (mean x =2 -> 16)
     out = fn(pd.DataFrame({"x": [5.0]}))
     assert list(out["y"]) == [40.0]
+
+
+def test_observed_system_column(spark):
+    """_observability_{name} (reference map.py:415-419): per-row stage
+    provenance from the middleware stack, linking rows to the cache key."""
+    import json
+
+    from docetl_spark.cdc.middleware import _batch_key, as_stage, observed
+
+    def fn(pdf):
+        out = pdf.copy()
+        out["out"] = out["doc_id"] * 2
+        return out
+
+    stage = as_stage(observed(fn, "enrich", config_key="v1"),
+                     "doc_id long, out long, _observability_enrich string")
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    rows = stage(df).collect()
+    assert len(rows) == 5
+    payloads = [json.loads(r["_observability_enrich"]) for r in rows]
+    for p in payloads:
+        assert p["stage"] == "enrich" and p["config_key"] == "v1"
+        assert p["rows_in"] >= 1 and len(p["batch_fingerprint"]) == 64
+    # the fingerprint is the cached() key of the input batch: recomputing
+    # it over the same single-partition batch matches
+    one = df.coalesce(1)
+    [row] = stage(one).limit(1).collect()
+    got = json.loads(row["_observability_enrich"])["batch_fingerprint"]
+    assert got == _batch_key(one.toPandas(), "v1")
