@@ -5,13 +5,20 @@ corpus lives as a lake table (docs + their minhash signatures); each fenced
 batch of incoming documents is
 
 1. signed (Arrow minhash kernel) and LSH-banded,
-2. blocked against the STORED corpus via a band-bucket equi-join (never
-   all-pairs — the stored side re-derives band buckets from its persisted
-   signatures, so the index costs num_hashes longs per doc; scale note:
-   this is an O(|corpus|) narrow column scan per batch, which the lake's
-   column pruning makes cheap but not free — at 10^10 docs, materialize
-   the banded (bucket, doc_id) projection as its own bucketed table so a
-   batch joins only its buckets, the same pruning story as read_keys),
+2. blocked against the STORED corpus via a band-bucket equi-join against
+   the corpus's BANDED INDEX — a sidecar lake table of (bucket, doc_id)
+   entries keyed (_band, _sid) but hash-bucketed on ``_band`` alone
+   (``LakeTable bucket_cols``), so a batch reads only the index buckets
+   its own band values hash into: per-batch stored-side cost is
+   O(index ∩ batch buckets), never O(|corpus|). Candidate documents are
+   then fetched from the corpus by bucket-pruned point lookup (the
+   read_keys story) for exact verification. The index is maintained by
+   the ingest itself: committed MOR-append FIRST under the same fenced
+   batch_id (phantom entries from a crash before the corpus commit are
+   harmless — verification inner-joins against corpus state, and the
+   deterministic redelivery re-keeps exactly the ids the index already
+   has), lazily created with a one-time O(corpus) backfill for
+   pre-index corpora, and opportunistically compacted,
 3. exact-verified (n-gram jaccard on the candidate pairs only),
 4. greedily deduped: a doc is dropped iff it near-dups any RETAINED
    earlier doc — stored docs count as earlier; within the batch "earlier"
@@ -32,6 +39,7 @@ the "beyond the reference" dedup pillar fused with the CDC spine.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +54,75 @@ from docetl_spark.functions.dedup import (
 from docetl_spark.lake.table import LakeTable
 
 SIG_COL = "_sig"
+IDX_SUBDIR = "bandidx"
+
+
+def band_index_path(table: LakeTable) -> str:
+    return os.path.join(table.path, IDX_SUBDIR)
+
+
+def _ensure_band_index(
+    spark: SparkSession,
+    table: LakeTable,
+    snap,
+    id_field,
+    num_hashes: int,
+    bands: int,
+) -> LakeTable:
+    """Open (or lazily create + backfill) the corpus's banded index.
+
+    Index row = one (band bucket, stored doc id). Keyed (_band, _sid)
+    for merge uniqueness, hash-bucketed on ``_band`` alone so a batch's
+    band values prune the read to their hashed buckets. Creation on a
+    non-empty corpus backfills from stored signatures — one O(corpus)
+    scan, once (the migration path for pre-index corpora) — committed
+    under the corpus's current fence so the index fence tracks corpus
+    batch ids from then on. The banding parameters are pinned in the
+    index properties; a later call with different ones must fail loudly
+    (its buckets would be incomparable)."""
+    from pyspark.sql import types as T
+
+    from docetl_spark.cdc.replay import read_state
+
+    idx = LakeTable(band_index_path(table))
+    params = {"dedup.num-hashes": str(num_hashes), "dedup.bands": str(bands)}
+    if idx.exists():
+        props = idx.snapshot().properties
+        got = {k: props.get(k) for k in params}
+        if got != params:
+            raise ValueError(
+                f"band index at {idx.path} was built with {got}, "
+                f"called with {params} — rebuild the index to change banding"
+            )
+        return idx
+    schema = T.StructType([
+        T.StructField("_band", T.LongType(), False),
+        T.StructField("_sid", id_field.dataType, False),
+    ])
+    idx = LakeTable.create(
+        idx.path, schema, key_cols=["_band", "_sid"],
+        num_buckets=snap.num_buckets, bucket_cols=["_band"],
+        properties=params,
+    )
+    fence = int(snap.properties.get(FENCE_PROP, "-1"))
+    if fence >= 0:
+        stored = read_state(spark, table)
+        entries = stored.select(
+            F.col(snap.key_cols[0]).alias("_sid"),
+            F.explode(band_buckets(SIG_COL, num_hashes, bands)).alias("_band"),
+        )
+        changes = entries.select(
+            F.col("_sid").cast("long").alias("lsn"), F.lit("I").alias("op"),
+            "_band", "_sid",
+        )
+        merge_apply(spark, idx, changes, batch_id=fence, mode="mor")
+    return idx
+
+
+def _affected_hash_buckets(probe: DataFrame, bucket_col) -> list[int]:
+    """Distinct hashed-bucket ids of a probe frame — a bounded collect
+    (≤ num_buckets ints), the price of file-level pruning."""
+    return sorted({r["_b"] for r in probe.select(bucket_col.alias("_b")).distinct().collect()})
 
 
 def greedy_first_kept(
@@ -149,6 +226,7 @@ class DedupIngestMetrics:
     dropped_cross: int = 0
     dropped_within: int = 0
     kept: int = 0
+    index_entries: int = 0  # banded-index rows appended this batch
 
 
 def dedup_ingest(
@@ -163,6 +241,7 @@ def dedup_ingest(
     shingle_n: int = 3,
     threshold: float = 0.8,
     mode: str = "cow",
+    compact_index_files: int | None = 16,
 ) -> DedupIngestMetrics:
     """Ingest one fenced batch into the deduped corpus ``table``.
 
@@ -174,8 +253,6 @@ def dedup_ingest(
     already committed is fully skipped — the dedup work itself is fenced,
     not just the write.
     """
-    from docetl_spark.cdc.replay import read_state
-
     id_type = batch.schema[id_col].dataType.typeName()
     if id_type not in ("byte", "short", "integer", "long"):
         # the greedy "earlier" ordering and the synthesized lsn both need a
@@ -210,21 +287,44 @@ def dedup_ingest(
         )
 
     bb = band_buckets(SIG_COL, num_hashes, bands)
-    batch_banded = signed.select(F.col(id_col).alias("_bid"), F.explode(bb).alias("_bucket"))
+    batch_banded = signed.select(F.col(id_col).alias("_bid"), F.explode(bb).alias("_band"))
 
-    stored = read_state(spark, table)
+    idx = _ensure_band_index(spark, table, snap, batch.schema[id_col], num_hashes, bands)
     has_stored = bool(snap.files) or snap.properties.get("cdc.has-deltas") == "true"
     dropped_cross = spark.createDataFrame([], f"_id {batch.schema[id_col].dataType.simpleString()}")
     if has_stored:
-        stored_banded = stored.select(
-            F.col(id_col).alias("_sid"), F.explode(band_buckets(SIG_COL, num_hashes, bands)).alias("_bucket")
-        )
+        # stored-side blocking reads the INDEX, pruned to the hash-buckets
+        # of this batch's band values — per-batch cost scales with the
+        # batch and the touched index buckets, not with the corpus
+        isnap = idx.snapshot()
+        ihash = F.pmod(F.xxhash64(F.col("_band")), F.lit(isnap.num_buckets)).cast("int")
+        ibuckets = _affected_hash_buckets(batch_banded, ihash)
+        entries = idx.read_buckets(
+            spark, [b for b in ibuckets if b in isnap.files], isnap
+        ).select("_band", "_sid")  # MOR deltas are insert-only unique rows
         cross_cands = (
-            batch_banded.join(stored_banded, "_bucket")
+            batch_banded.join(entries, "_band")
             .select(F.col("_sid").alias("_id1"), F.col("_bid").alias("_id2"))
             .distinct()
+            .localCheckpoint()  # feeds both the corpus point lookup and the verify join
         )
-        cross_pairs = verified(cross_cands, stored, signed)
+        # candidate documents by bucket-pruned corpus point lookup; INNER
+        # against live corpus state, so phantom index entries left by a
+        # crash between the index and corpus commits drop out harmlessly
+        sids = cross_cands.select(F.col("_id1").alias(id_col)).distinct()
+        cbuckets = _affected_hash_buckets(sids, table.bucket_expr(snap))
+        cand_stored = table.read_buckets(spark, [b for b in cbuckets if b in snap.files], snap)
+        # wide corpus rows never shuffle: broadcast the (pair-bounded) id set
+        cand_stored = cand_stored.join(F.broadcast(sids), id_col, "left_semi")
+        if snap.properties.get("cdc.has-deltas") == "true":
+            from docetl_spark.cdc.merge import dedup_last_writer
+
+            cand_stored = dedup_last_writer(cand_stored, snap.key_cols)
+        if "_deleted" in cand_stored.columns:
+            cand_stored = cand_stored.filter(
+                ~F.coalesce(F.col("_deleted"), F.lit(False))
+            ).drop("_deleted")
+        cross_pairs = verified(cross_cands, cand_stored, signed)
         dropped_cross = cross_pairs.select(F.col("_id2").alias("_id")).distinct()
 
     # broadcast the (pair-bounded) drop list: the left side carries full
@@ -234,9 +334,9 @@ def dedup_ingest(
     ).localCheckpoint()
 
     # within-batch pairs among cross-survivors, then the greedy rule
-    surv_banded = survivors.select(F.col(id_col).alias("_bid"), F.explode(bb).alias("_bucket"))
+    surv_banded = survivors.select(F.col(id_col).alias("_bid"), F.explode(bb).alias("_band"))
     within_cands = (
-        surv_banded.alias("a").join(surv_banded.alias("b"), "_bucket")
+        surv_banded.alias("a").join(surv_banded.alias("b"), "_band")
         .filter(F.col("a._bid") < F.col("b._bid"))
         .select(F.col("a._bid").alias("_id1"), F.col("b._bid").alias("_id2"))
         .distinct()
@@ -253,12 +353,34 @@ def dedup_ingest(
 
     n_batch = signed.count()
     n_surv = survivors.count()
+    kept_rows = kept_rows.localCheckpoint()  # pin: feeds the index append AND the corpus write
+
+    # index append FIRST, corpus second, both fenced on batch_id: a crash
+    # in between leaves phantom index entries, which the next (determin-
+    # istic) redelivery re-keeps identically — see module docstring
+    idx_changes = kept_rows.select(
+        F.col(id_col).cast("long").alias("lsn"), F.lit("I").alias("op"),
+        F.explode(bb).alias("_band"), F.col(id_col).alias("_sid"),
+    )
+    imetrics = merge_apply(spark, idx, idx_changes, batch_id, mode="mor")
+
     changes = kept_rows.select(
         F.col(id_col).cast("long").alias("lsn"),
         F.lit("I").alias("op"),
         *[c for c in kept_rows.columns],
     )
     metrics = merge_apply(spark, table, changes, batch_id, mode=mode)
+
+    # opportunistic index maintenance: MOR appends one delta file per
+    # touched index bucket per batch; fold them when a bucket accumulates
+    # compact_index_files files (amortized O(index)/threshold per batch)
+    if compact_index_files:
+        isnap2 = idx.snapshot()
+        if any(len(fl) >= compact_index_files for fl in isnap2.files.values()):
+            from docetl_spark.cdc.replay import compact_state
+
+            compact_state(spark, idx, min_files=compact_index_files)
+
     n_kept = metrics.keys_in_batch if not metrics.skipped else 0
     return DedupIngestMetrics(
         merge=metrics,
@@ -266,4 +388,5 @@ def dedup_ingest(
         dropped_cross=n_batch - n_surv,
         dropped_within=n_surv - n_kept,
         kept=n_kept,
+        index_entries=0 if imetrics.skipped else imetrics.keys_in_batch,
     )

@@ -61,6 +61,11 @@ class Snapshot:
     properties: dict[str, str]
     summary: dict
     timestamp_ms: int
+    # hash-bucket on this subset of key_cols (Iceberg bucket-transform
+    # analogue); None = full key. Lets a lookup by the subset alone prune
+    # to its hashed buckets (e.g. the banded dedup index keyed
+    # (_bucket, _sid) but bucketed on _bucket only).
+    bucket_cols: list[str] | None = None
 
     @property
     def all_files(self) -> list[str]:
@@ -85,6 +90,7 @@ class LakeTable:
         key_cols: list[str],
         num_buckets: int = 16,
         properties: dict[str, str] | None = None,
+        bucket_cols: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(path)
         if t.exists():
@@ -94,6 +100,9 @@ class LakeTable:
         for k in key_cols:
             if k not in schema.fieldNames():
                 raise ValueError(f"key column {k!r} not in schema")
+        if bucket_cols is not None:
+            if not bucket_cols or any(c not in key_cols for c in bucket_cols):
+                raise ValueError("bucket_cols must be a non-empty subset of key_cols")
         t._write_meta(
             version=1,
             schema=schema,
@@ -102,6 +111,7 @@ class LakeTable:
             files={},
             properties=dict(properties or {}),
             summary={"operation": "create"},
+            bucket_cols=list(bucket_cols) if bucket_cols else None,
         )
         return t
 
@@ -137,6 +147,7 @@ class LakeTable:
             properties=m.get("properties", {}),
             summary=m.get("summary", {}),
             timestamp_ms=m.get("timestamp_ms", 0),
+            bucket_cols=m.get("bucket_cols"),
         )
 
     # -- read ----------------------------------------------------------------
@@ -167,9 +178,12 @@ class LakeTable:
 
         xxhash64 over the full composite key spreads a hot repo's many
         (path, commit) rows uniformly across buckets — hot-KEY skew cannot
-        become hot-BUCKET skew.
+        become hot-BUCKET skew. Tables created with ``bucket_cols`` hash
+        that declared subset instead, trading some within-bucket skew for
+        prunable point lookups by the subset alone.
         """
-        return F.pmod(F.xxhash64(*[F.col(k) for k in snap.key_cols]), F.lit(snap.num_buckets)).cast("int")
+        cols = snap.bucket_cols or snap.key_cols
+        return F.pmod(F.xxhash64(*[F.col(k) for k in cols]), F.lit(snap.num_buckets)).cast("int")
 
     def write_bucket_files(self, df: DataFrame, snap: Snapshot, tag: str, repartition: bool = True) -> dict[int, list[str]]:
         """Write ``df`` (already conforming to table schema) partitioned by
@@ -235,10 +249,12 @@ class LakeTable:
             files=files,
             properties=props,
             summary=summary or {},
+            bucket_cols=cur.bucket_cols,
         )
         return self.snapshot()
 
-    def _write_meta(self, version, schema, num_buckets, key_cols, files, properties, summary):
+    def _write_meta(self, version, schema, num_buckets, key_cols, files, properties, summary,
+                    bucket_cols=None):
         meta = {
             "version": version,
             "schema": schema.jsonValue(),
@@ -249,6 +265,8 @@ class LakeTable:
             "summary": summary,
             "timestamp_ms": int(time.time() * 1000),
         }
+        if bucket_cols:
+            meta["bucket_cols"] = list(bucket_cols)
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.meta_dir, f"v{version:08d}.json")
         with open(tmp, "w") as f:

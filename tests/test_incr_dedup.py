@@ -114,3 +114,72 @@ def test_embedding_pairs_brute_all_null_and_empty(spark):
     assert embedding_pairs_brute(allnull, "id", "v", threshold=0.0).count() == 0
     empty = spark.createDataFrame([], "id long, v array<double>")
     assert embedding_pairs_brute(empty, "id", "v", threshold=0.0).count() == 0
+
+
+def test_cross_batch_blocking_reads_index_not_corpus(spark, tmp_path, corpus):
+    """The stored-side scan is the banded INDEX (bucketed sidecar table),
+    not the corpus signatures: emptying the index (corpus untouched) makes
+    a near-dup of a stored doc sail through, and deleting the index
+    entirely triggers the lazy backfill that restores blocking."""
+    import shutil
+
+    from docetl_spark.functions.incr_dedup import _ensure_band_index, band_index_path
+    from docetl_spark.lake.table import LakeTable
+
+    table = create_cdc_table(str(tmp_path / "t"), ["doc_id"], num_buckets=4,
+                             key_types={"doc_id": "int"})
+    base = corpus.filter(F.col("doc_id").isin(0, 2, 4))
+    s0 = dedup_ingest(spark, table, base, 0, "doc_id", "text",
+                      num_hashes=32, bands=16, threshold=0.6)
+    assert s0.kept == 3 and s0.index_entries == 3 * 16
+
+    near = corpus.filter(F.col("doc_id") == 5)  # near-dup of stored doc 0
+
+    # poison: empty the index (keep its fence/properties); corpus sigs intact
+    idx = LakeTable(band_index_path(table))
+    isnap = idx.snapshot()
+    idx.commit({}, replaced_buckets=set(isnap.files), summary={"operation": "poison"})
+    s1 = dedup_ingest(spark, table, near, 1, "doc_id", "text",
+                      num_hashes=32, bands=16, threshold=0.6)
+    # doc 5 KEPT: blocking consulted the (emptied) index, not the corpus
+    assert s1.dropped_cross == 0 and s1.kept == 1
+    assert sorted(r["doc_id"] for r in read_state(spark, table).collect()) == [0, 2, 4, 5]
+
+    # migration path: drop the index entirely -> lazy recreate backfills
+    # from stored signatures and blocking works again
+    shutil.rmtree(band_index_path(table))
+    near2 = corpus.filter(F.col("doc_id") == 1).withColumn(
+        "doc_id", F.lit(7).cast("long"))  # fresh id, near-dup of doc 0
+    s2 = dedup_ingest(spark, table, near2, 2, "doc_id", "text",
+                      num_hashes=32, bands=16, threshold=0.6)
+    assert s2.dropped_cross == 1 and s2.kept == 0
+    # backfilled index covers every stored doc (incl. the poisoned-in 5)
+    idx2 = LakeTable(band_index_path(table))
+    assert idx2.read(spark).select("_sid").distinct().count() == 4
+
+    # banding parameters are pinned: different bands must fail loudly
+    with pytest.raises(ValueError, match="band index"):
+        _ensure_band_index(spark, table, table.snapshot(),
+                           near2.schema["doc_id"], 32, 8)
+
+
+def test_band_index_is_bucket_pruned(spark, tmp_path, corpus):
+    """The index table hash-buckets on _band alone (bucket_cols), so a
+    batch's band values map to a strict subset of index files at scale;
+    here we assert the spec is wired: bucket assignment ignores _sid."""
+    from docetl_spark.functions.incr_dedup import band_index_path
+    from docetl_spark.lake.table import LakeTable
+
+    table = create_cdc_table(str(tmp_path / "t"), ["doc_id"], num_buckets=8,
+                             key_types={"doc_id": "int"})
+    dedup_ingest(spark, table, corpus.filter(F.col("doc_id").isin(0, 2, 4)),
+                 0, "doc_id", "text", num_hashes=32, bands=16, threshold=0.6)
+    idx = LakeTable(band_index_path(table))
+    isnap = idx.snapshot()
+    assert isnap.bucket_cols == ["_band"]
+    # every physical bucket's rows satisfy pmod(xxhash64(_band), N) == bucket
+    for b in isnap.files:
+        rows = idx.read_buckets(spark, [b], isnap).select(
+            F.pmod(F.xxhash64("_band"), F.lit(isnap.num_buckets)).cast("int").alias("hb")
+        ).distinct().collect()
+        assert [r["hb"] for r in rows] == [b]
