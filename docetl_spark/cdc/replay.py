@@ -149,6 +149,7 @@ def replay_events(
     batch_ids: list[int] | None = None,
     mode: str = "cow",
     compact_every: int | None = None,
+    coalesce_batches: int | None = None,
 ) -> list[MergeMetrics]:
     """Replay ``events`` batch by batch in ascending ``batch_col`` order.
 
@@ -164,6 +165,18 @@ def replay_events(
     10^10-event stream runs MOR + periodic compaction, not one giant
     end-of-time compaction. Compaction is itself an atomic commit, so a
     crash between batches never loses the fence.
+
+    ``coalesce_batches`` (micro-batch policy): apply every N CONTIGUOUS
+    pending batches as ONE fenced commit (``batch_id`` = the group's max).
+    LWW by LSN is associative across batches — the union's per-key max-LSN
+    winner equals sequential application — so the final state is
+    byte-identical while the per-commit serial floor (snapshot read, stats
+    job, write-job launch, metadata fsync) is paid once per group instead
+    of once per tiny batch. Exactly-once holds: the fence records the
+    group max, so redelivery of any constituent batch is skipped; a crash
+    mid-group re-applies the whole group (no partial state was committed).
+    Lineage granularity becomes per-group (one MergeMetrics; min/max LSN
+    and event counts still exact).
     """
     last_applied = int(table.snapshot().properties.get(FENCE_PROP, "-1"))
     if batch_ids is None:
@@ -177,6 +190,11 @@ def replay_events(
         ]
     else:
         batch_ids = sorted(b for b in batch_ids if b > last_applied)
+    if coalesce_batches and coalesce_batches > 1:
+        groups = [batch_ids[i:i + coalesce_batches]
+                  for i in range(0, len(batch_ids), coalesce_batches)]
+    else:
+        groups = [[b] for b in batch_ids]
     out: list[MergeMetrics] = []
     # Stats-ahead pipelining: batch i+1's phase-1 stats job reads only its
     # own events slice — never table state — so it runs in a helper thread
@@ -188,24 +206,27 @@ def replay_events(
 
     from docetl_spark.cdc.merge import compute_batch_stats
 
-    def batch_df(bid):
-        return events.filter(F.col(batch_col) == bid)
+    def batch_df(group):
+        if len(group) == 1:
+            return events.filter(F.col(batch_col) == group[0])
+        return events.filter(F.col(batch_col).isin([int(b) for b in group]))
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = None
-        for i, bid in enumerate(batch_ids, start=1):
+        for i, group in enumerate(groups, start=1):
+            bid = int(max(group))
             pre = None
             if fut is not None:
                 try:
                     pre = fut.result()
                 except Exception:
                     pre = None  # prefetch is an optimization, never a failure
-            if i < len(batch_ids):
-                nxt = batch_ids[i]
-                fut = pool.submit(compute_batch_stats, table, batch_df(nxt), int(nxt), stages)
+            if i < len(groups):
+                nxt = groups[i]
+                fut = pool.submit(compute_batch_stats, table, batch_df(nxt), int(max(nxt)), stages)
             else:
                 fut = None
-            m = merge_apply(spark, table, batch_df(bid), int(bid),
+            m = merge_apply(spark, table, batch_df(group), bid,
                             stages=stages, winner_stages=winner_stages, mode=mode,
                             precomputed=pre)
             out.append(m)

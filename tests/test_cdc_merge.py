@@ -516,3 +516,28 @@ def test_rebucket_between_replays_resumes_correctly(spark, tmp_path):
     oracle = final_state_oracle(ev).select("repo", "path", "commit", F.sha2("content", 256).alias("h"))
     assert state.exceptAll(oracle).count() == 0
     assert oracle.exceptAll(state).count() == 0
+
+
+def test_coalesced_replay_matches_sequential(spark, tmp_path, events):
+    """coalesce_batches groups contiguous tiny batches into one fenced
+    commit; LWW is associative across batches so the final state is
+    byte-identical, the fence records the group max, and redelivery of
+    any constituent batch is skipped."""
+    t_seq = create_cdc_table(str(tmp_path / "seq"), KEYS, num_buckets=8)
+    replay_events(spark, t_seq, events)
+    t_co = create_cdc_table(str(tmp_path / "co"), KEYS, num_buckets=8)
+    metrics = replay_events(spark, t_co, events, coalesce_batches=3)
+    # 4 batches -> groups [0,1,2],[3]; fences 2 then 3
+    assert [m.batch_id for m in metrics] == [2, 3]
+    assert sum(m.events_in for m in metrics) == 4000
+    assert state_hashes(read_state(spark, t_co)) == state_hashes(read_state(spark, t_seq))
+    # constituent batch redelivery is fenced out
+    m = merge_apply(spark, t_co, events.filter(F.col("batch_id") == 1), 1)
+    assert m.skipped
+    # resume with different grouping still converges: fresh table, apply
+    # group [0,1] then re-replay coalesced by 3 -> only pending [2,3] apply
+    t_mix = create_cdc_table(str(tmp_path / "mix"), KEYS, num_buckets=8)
+    replay_events(spark, t_mix, events.filter(F.col("batch_id") < 2), coalesce_batches=2)
+    m2 = replay_events(spark, t_mix, events, coalesce_batches=3)
+    assert [m.batch_id for m in m2] == [3] and not m2[0].skipped
+    assert state_hashes(read_state(spark, t_mix)) == state_hashes(read_state(spark, t_seq))
