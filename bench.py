@@ -67,6 +67,8 @@ HEADLINE = [
     "reduce_lineage_docs",
     "extract_reformat_cert",
     "extract_pointer_docs",
+    # round-4 surface
+    "doc_chunking_macro",
 ]
 
 
