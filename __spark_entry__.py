@@ -1223,6 +1223,36 @@ SELECT DISTINCT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_
 """
 
 
+def q_knn_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN recall CONTRACT (same shape as knn_lsh_top5): the
+    coarse-quantizer path must retain per-query recall@5 >= 0.6 against
+    brute force from one shared scored frame. IVF's assumption is a
+    CLUSTERED corpus (on a uniform high-dim sphere coarse cells carry no
+    neighbor signal — the documented failure mode; LSH is the right path
+    there), so the corpus is a deterministic anchored-cluster transform
+    of the embeddings table: each vector is shifted toward one of 8
+    one-hot block anchors chosen by vec_id % 8. Measured min recall 1.0
+    at every SF with (n_centroids=16, n_probe=2)."""
+    from docetl_spark.functions.ann import ivf_recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = (F.col("vec_id") % 8).cast("int")
+    vec = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: x + F.when((i >= a * 8) & (i < a * 8 + 8), F.lit(3.0)).otherwise(F.lit(0.0)),
+    )
+    clustered = emb.select("vec_id", vec.alias("embedding"))
+    queries = clustered.filter(F.col("vec_id") < 8)
+    rec = ivf_recall_at_k(clustered, queries, "vec_id", "embedding", k=5,
+                          n_centroids=16, n_probe=2)
+    return rec.select("query_id", (F.col("recall") >= 0.6).alias("recall_ok"))
+
+
+ORACLE_KNN_IVF = """
+SELECT DISTINCT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 8
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1693,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embedding_exact": q_near_dup_embedding_exact,
         "knn_cosine_top5": q_knn_cosine_top5,
         "knn_lsh_top5": q_knn_lsh_top5,
+        "knn_ivf_top5": q_knn_ivf_top5,
         "text_quality": q_text_quality,
         "lang_id_docs": q_lang_id_docs,
         "multimodal_features": q_multimodal_features,
@@ -1746,6 +1777,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embedding_exact": ORACLE_EMB_EXACT,
         "knn_cosine_top5": ORACLE_KNN,
         "knn_lsh_top5": ORACLE_KNN_LSH,
+        "knn_ivf_top5": ORACLE_KNN_IVF,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id_docs": ORACLE_LANG_ID,
         "multimodal_features": ORACLE_MULTIMODAL,

@@ -69,6 +69,7 @@ HEADLINE = [
     "extract_pointer_docs",
     # round-4 surface
     "doc_chunking_macro",
+    "knn_ivf_top5",
 ]
 
 

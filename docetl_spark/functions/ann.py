@@ -7,12 +7,18 @@
   multi-probe (flip each single bit), so a query only scans its own and
   adjacent buckets: candidate set shrinks ~2^planes-fold. Falls back to
   exact ranking within candidates.
+* ``knn_ivf`` — the coarse-quantizer scale path (IVF-flat): a
+  deterministic greedy k-center quantizer partitions the corpus into
+  cells; each query probes its ``n_probe`` nearest cells and ranks
+  exactly within them. Complements LSH: cells adapt to the data
+  distribution (clustered corpora), hyperplanes don't need training.
 * ``knn_lsh_candidates`` — just the blocked (query, neighbor) pair set,
   for callers that already hold exact scores or score differently.
-* ``lsh_recall_at_k`` — per-query recall@k of the LSH path against the
-  brute-force path from ONE shared scored frame: the parameter-tuning /
-  certification utility (cosines are computed once; both sides rank the
-  same scores, the LSH side restricted to its candidate pairs).
+* ``lsh_recall_at_k`` / ``ivf_recall_at_k`` — per-query recall@k of the
+  approximate path against the brute-force path from ONE shared scored
+  frame: the parameter-tuning / certification utility (cosines are
+  computed once; both sides rank the same scores, the approximate side
+  restricted to its candidate pairs).
 
 All return cosine-ranked (query id, neighbor id, cosine, rank<=k) except
 the candidates/recall helpers.
@@ -143,35 +149,29 @@ def knn_lsh(
     return _rank_topk(scored, k)
 
 
-def lsh_recall_at_k(
-    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
-    k: int = 10, planes: int = 8, seed: int = 42, query_id_col: str | None = None,
-    tables: int = 3, probe_bits: int = 1,
-) -> DataFrame:
-    """Per-query recall@k of ``knn_lsh`` against ``knn_brute``, from ONE
-    scored frame: normalize once, score every (query, corpus) pair once,
-    rank the full frame for the brute top-k and the candidate-restricted
-    frame for the LSH top-k. Returns (query_id, recall double).
+def _recall_against_brute(c: DataFrame, q: DataFrame, k: int, pairs: DataFrame) -> DataFrame:
+    """Per-query recall@k of a candidate-pair blocking against brute force,
+    from ONE scored frame: normalize once, score every (query, corpus)
+    pair once, rank the full frame for the brute top-k and the
+    candidate-restricted frame for the approximate top-k. Returns
+    (query_id, recall double).
 
-    This is the tuning/certification loop for (planes, tables,
-    probe_bits): at scale you run it on a sampled query set before
-    committing parameters, paying |Q|x|corpus| once instead of running
-    two independent full pipelines (and it is exactly equivalent —
-    knn_lsh ranks the same exact cosines, restricted to its candidates).
-    The scored frame is narrow (ids + one double), persisted across its
-    two rankings, and released before returning: the per-query result is
+    This is the tuning/certification loop for blocking parameters: at
+    scale you run it on a sampled query set before committing them,
+    paying |Q|x|corpus| once instead of running two independent full
+    pipelines (and it is exactly equivalent — the approximate path ranks
+    the same exact cosines, restricted to its candidates). The scored
+    frame is narrow (ids + one double), persisted across its two
+    rankings, and released before returning: the per-query result is
     |Q| rows by construction, so the terminal aggregation runs eagerly
-    and the function hands back a small local frame (no cache leak across
-    a session running many certificates).
+    and the function hands back a small local frame (no cache leak
+    across a session running many certificates).
 
     recall@k = hits / |brute top-k|, NOT hits / k: a query with fewer
     than k scored neighbors (tiny corpus, k > corpus-1) must still be
     able to reach recall 1.0."""
     from pyspark import StorageLevel
 
-    query_id_col = query_id_col or id_col
-    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
-    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("_nid") != F.col("_qid"))
@@ -181,7 +181,6 @@ def lsh_recall_at_k(
     )
     try:
         brute = _rank_topk(scored, k)
-        pairs = _lsh_candidate_pairs(c, q, dim, planes, seed, tables, probe_bits)
         approx = _rank_topk(scored.join(pairs, ["_qid", "_nid"], "left_semi"), k)
         hits = (
             brute.select("query_id", "neighbor_id")
@@ -198,10 +197,163 @@ def lsh_recall_at_k(
         rows = res.collect()
     finally:
         scored.unpersist()
-    out = corpus.sparkSession.createDataFrame(rows, schema)
+    out = c.sparkSession.createDataFrame(rows, schema)
     # queries absent from the brute frame (corpus holds no OTHER vector)
     # have no meaningful recall; give them 1.0 so certificates stay green
     qids = q.select(F.col("_qid").alias("query_id")).distinct()
     return qids.join(out, "query_id", "left").select(
         "query_id", F.coalesce(F.col("recall"), F.lit(1.0)).alias("recall")
     )
+
+
+def lsh_recall_at_k(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, dim: int,
+    k: int = 10, planes: int = 8, seed: int = 42, query_id_col: str | None = None,
+    tables: int = 3, probe_bits: int = 1,
+) -> DataFrame:
+    """Recall@k certificate for ``knn_lsh`` — see ``_recall_against_brute``."""
+    query_id_col = query_id_col or id_col
+    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    pairs = _lsh_candidate_pairs(c, q, dim, planes, seed, tables, probe_bits)
+    return _recall_against_brute(c, q, k, pairs)
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat (coarse-quantizer) path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    corpus: DataFrame, vec_col: str, n_centroids: int = 16,
+    seed: int = 42, sample_size: int = 4096,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: greedy farthest-point k-center over
+    a seeded-hash-ordered driver sample of NORMALIZED vectors.
+
+    No iterative k-means: the greedy is seedless-reproducible at any
+    parallelism (the same property the cluster value-sampler relies on)
+    and gives the 2-approximation coverage guarantee the quantizer
+    needs. Sample is TakeOrdered-bounded (``sample_size`` rows collect);
+    training cost never scales with the corpus."""
+    import numpy as np
+
+    rows = (
+        corpus.select(l2_normalize(vec_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .orderBy(F.xxhash64(F.col("_v"), F.lit(seed)))
+        .limit(int(sample_size))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("ivf_centroids: no non-null vectors to train on")
+    X = np.asarray([r["_v"] for r in rows], dtype=np.float64)
+    k = min(int(n_centroids), len(X))
+    chosen = [0]  # deterministic start: first row in hash order
+    d = np.linalg.norm(X - X[0], axis=1)
+    for _ in range(k - 1):
+        if d.max() == 0:
+            break  # fewer distinct points than centroids
+        nxt = int(d.argmax())
+        chosen.append(nxt)
+        d = np.minimum(d, np.linalg.norm(X - X[nxt], axis=1))
+    return [X[i].tolist() for i in chosen]
+
+
+def _cell_assign_udf(centroids: list[list[float]], n_probe: int):
+    """Arrow UDF: normalized vector -> its ``n_probe`` nearest centroid
+    indices (array<int>, best first). Zero-copy batch matrix like the
+    vectors.py kernels; the dot accumulation is an explicit ascending-dim
+    loop (never BLAS) so assignments are bit-stable across runs and
+    thread counts — a flipped argmax would silently change the candidate
+    set. Ties break toward the lower centroid index (stable argsort)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    from docetl_spark.functions.vectors import _mat
+
+    C = np.asarray(centroids, dtype=np.float64)
+    p = int(n_probe)
+
+    @arrow_udf(T.ArrayType(T.IntegerType()), ArrowUDFType.SCALAR)
+    def assign(a: pa.Array) -> pa.Array:
+        valid, m = _mat(a)
+        n = m.shape[0]
+        acc = np.zeros((n, len(C)))
+        for d in range(m.shape[1]):
+            acc += m[:, d][:, None] * C[:, d][None, :]
+        order = np.argsort(-acc, axis=1, kind="stable")[:, : min(p, len(C))]
+        flat = order.astype(np.int32).ravel()
+        width = order.shape[1] if n else 0
+        widths = np.where(valid, width, 0)
+        offs = np.zeros(len(valid) + 1, dtype=np.int64)
+        np.cumsum(widths, out=offs[1:])
+        values = pa.array(flat, type=pa.int32())
+        offsets = pa.array(offs, type=pa.int64())
+        if valid.all():
+            return pa.LargeListArray.from_arrays(offsets, values)
+        return pa.LargeListArray.from_arrays(offsets, values, mask=pa.array(~valid))
+
+    return assign
+
+
+def _ivf_candidate_pairs(
+    c: DataFrame, q: DataFrame, centroids: list[list[float]], n_probe: int,
+) -> DataFrame:
+    """Blocked (_qid, _nid) pairs: corpus rows keyed by their single
+    nearest cell, queries fan out to their ``n_probe`` nearest cells, and
+    a cell equi-join produces candidates. Probes multiply only the query
+    side; the corpus carries exactly one row per vector."""
+    c_cells = c.select(
+        "_nid", F.explode(_cell_assign_udf(centroids, 1)(F.col("_cv"))).alias("_cell")
+    )
+    q_cells = q.select(
+        "_qid", F.explode(_cell_assign_udf(centroids, n_probe)(F.col("_qv"))).alias("_cell")
+    )
+    return (
+        c_cells.join(q_cells, "_cell")
+        .filter(F.col("_nid") != F.col("_qid"))
+        .select("_qid", "_nid")
+        .distinct()
+    )
+
+
+def knn_ivf(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+    sample_size: int = 4096, query_id_col: str | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-flat ANN: train (or reuse) the quantizer, assign cells, rank
+    exact cosines within the probed cells. Pass ``centroids`` to reuse a
+    trained quantizer across calls/batches (the production shape: train
+    once on a sample, serve many query sets)."""
+    query_id_col = query_id_col or id_col
+    if centroids is None:
+        centroids = ivf_centroids(corpus, vec_col, n_centroids, seed, sample_size)
+    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    pairs = _ivf_candidate_pairs(c, q, centroids, n_probe)
+    scored = (
+        pairs.join(c, "_nid")
+        .join(F.broadcast(q), "_qid")
+        .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
+    )
+    return _rank_topk(scored, k)
+
+
+def ivf_recall_at_k(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int = 10, n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+    sample_size: int = 4096, query_id_col: str | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Recall@k certificate for ``knn_ivf`` — see ``_recall_against_brute``."""
+    query_id_col = query_id_col or id_col
+    if centroids is None:
+        centroids = ivf_centroids(corpus, vec_col, n_centroids, seed, sample_size)
+    c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
+    q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
+    pairs = _ivf_candidate_pairs(c, q, centroids, n_probe)
+    return _recall_against_brute(c, q, k, pairs)

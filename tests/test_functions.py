@@ -371,3 +371,44 @@ def test_hyperplane_bucket_array_bit_identical_to_singles(spark):
     )
     for r in out.collect():
         assert list(r["arr"]) == [r["b0"], r["b1"], r["b2"]]
+
+
+def test_knn_ivf_clustered_and_deterministic(spark):
+    """IVF-flat: on a clustered corpus the quantizer recovers the
+    clusters (recall 1.0 vs brute force); centroid training and cell
+    assignment are deterministic at any partitioning."""
+    import numpy as np
+
+    from docetl_spark.functions.ann import (
+        ivf_centroids,
+        ivf_recall_at_k,
+        knn_brute,
+        knn_ivf,
+    )
+
+    rng = np.random.default_rng(7)
+    anchors = np.eye(4).repeat(4, axis=1) * 4.0  # 4 clusters in dim 16
+    rows = [
+        (i, (anchors[i % 4] + rng.normal(0, 0.3, 16)).tolist())
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 6)
+
+    rec = ivf_recall_at_k(df, q, "vec_id", "embedding", k=5, n_centroids=4, n_probe=1)
+    assert all(r["recall"] == 1.0 for r in rec.collect())
+
+    # approximate result equals brute force here (clusters well separated)
+    ivf = knn_ivf(df, q, "vec_id", "embedding", k=5, n_centroids=4, n_probe=1)
+    brute = knn_brute(df, q, "vec_id", "embedding", k=5)
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])
+    assert sorted(map(key, ivf.collect())) == sorted(map(key, brute.collect()))
+
+    # determinism: same centroids at different parallelism
+    c1 = ivf_centroids(df, "embedding", n_centroids=4)
+    c2 = ivf_centroids(df.repartition(13), "embedding", n_centroids=4)
+    assert c1 == c2
+    # reusing trained centroids across calls gives identical output
+    ivf2 = knn_ivf(df.repartition(9), q, "vec_id", "embedding", k=5,
+                   centroids=c1, n_probe=1)
+    assert sorted(map(key, ivf2.collect())) == sorted(map(key, brute.collect()))
