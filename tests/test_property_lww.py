@@ -131,3 +131,55 @@ def test_maintenance_interleaved_anywhere_preserves_semantics(
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    events=st.lists(event_st, min_size=1, max_size=50),
+    n_batches=st.integers(min_value=2, max_value=6),
+    group=st.integers(min_value=1, max_value=4),
+    prefix=st.integers(min_value=0, max_value=3),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_coalesced_replay_any_grouping_matches_oracle(
+    spark, events, n_batches, group, prefix, mode
+):
+    """replay_events(coalesce_batches=N) for ANY stream, ANY group size,
+    and ANY already-applied prefix (applied UNgrouped, resumed grouped)
+    must equal the sequential LWW oracle — the associativity claim,
+    fuzzed."""
+    from pyspark.sql import functions as F
+
+    from docetl_spark.cdc import replay_events
+
+    rows = [
+        (lsn, min(lsn * n_batches // len(events), n_batches - 1),
+         op, f"r{k}", f"p{k}", f"c{k}", payload)
+        for lsn, (k, op, payload) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "lsn long, batch_id long, op string, repo string, path string, commit string, payload long"
+    )
+    batches = sorted(set(r[1] for r in rows))
+
+    root = tempfile.mkdtemp(prefix="prop_coal_")
+    try:
+        table = create_cdc_table(root + "/t", KEYS, num_buckets=4)
+        # apply an arbitrary prefix sequentially (ungrouped)...
+        cut = batches[: prefix % len(batches)]
+        if cut:
+            replay_events(spark, table, df.filter(F.col("batch_id").isin(cut)))
+        # ...then resume the remainder coalesced
+        metrics = replay_events(spark, table, df, coalesce_batches=group)
+        assert all(not m.skipped for m in metrics)
+        # fence = last batch id; full re-replay is a no-op
+        assert replay_events(spark, table, df, coalesce_batches=group) == []
+
+        got = {
+            (r["repo"], r["path"], r["commit"]): (r["lsn"], r["payload"])
+            for r in read_state(spark, table).collect()
+        }
+        want = {(f"r{k}", f"p{k}", f"c{k}"): v for k, v in py_oracle(events).items()}
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
