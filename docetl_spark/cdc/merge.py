@@ -83,6 +83,57 @@ class MergeMetrics:
         return asdict(self)
 
 
+def _unsupported_upcast_paths(old: T.DataType, new: T.DataType, path: str = "") -> list[str]:
+    """Column paths whose widening the parquet VECTORIZED READER cannot
+    apply at read time. Probed on this Spark build: INT32->INT64 and
+    INT32->double upcast fine; **INT64->double does not** — reading an
+    old long-typed file through a double-evolved schema throws
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH. Such widenings need a one-time
+    file rewrite (``_widen_rewrite``); everything else stays
+    metadata-only."""
+    if isinstance(old, T.LongType) and isinstance(new, T.DoubleType):
+        return [path or "<root>"]
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return _unsupported_upcast_paths(old.elementType, new.elementType, f"{path}[]")
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        out: list[str] = []
+        newf = {f.name: f for f in new.fields}
+        for f in old.fields:
+            if f.name in newf:
+                out += _unsupported_upcast_paths(f.dataType, newf[f.name].dataType,
+                                                 f"{path}.{f.name}" if path else f.name)
+        return out
+    return []
+
+
+def _widen_rewrite(spark: SparkSession, table, snap, evolved: T.StructType):
+    """One-time column-widening rewrite (the Delta/Iceberg shape for
+    non-reader-supported type changes): read every live file under the
+    OLD (file-accurate) schema, cast to the evolved schema in-plan, and
+    rewrite all buckets in one atomic commit — file-aligned
+    (repartition=False), so nothing shuffles; O(table) once per widening
+    event, like ``rebucket``. Afterwards every live file carries the
+    evolved types, restoring the invariant that the current snapshot
+    schema reads every file (which metadata-only evolution relies on).
+    Carries MOR deltas/tombstones verbatim (rows are cast, never
+    collapsed). No fence change: a crash after this commit leaves a
+    correct, merely-rewritten table."""
+    import uuid as _uuid
+
+    df = _align(table.read(spark), evolved)
+    new_spec = Snapshot(**{**snap.__dict__, "schema": evolved})
+    df = df.withColumn("_bucket", table.bucket_expr(new_spec))
+    tag = f"widen{snap.version + 1:08d}-{_uuid.uuid4().hex[:8]}"
+    new_files = table.write_bucket_files(df, new_spec, tag, repartition=False)
+    return table.commit(
+        new_files,
+        replaced_buckets=set(snap.files),
+        schema=evolved,
+        summary={"operation": "widen-rewrite"},
+        expected_version=snap.version,
+    )
+
+
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project ``df`` onto ``schema``: missing columns become typed nulls,
     shared columns cast to the (possibly widened) target type."""
@@ -295,6 +346,11 @@ def _merge_apply_once(
         + [T.StructField("lsn", T.LongType(), True), T.StructField(DELETED_COL, T.BooleanType(), True)]
     )
     evolved = merge_schemas(snap.schema, incoming)
+    if snap.all_files and _unsupported_upcast_paths(snap.schema, evolved):
+        # widening beyond what the parquet reader upcasts (long->double):
+        # rewrite live files under the evolved schema first, then merge
+        # against the fresh snapshot
+        snap = _widen_rewrite(spark, table, snap, evolved)
     snap_for_bucket = Snapshot(**{**snap.__dict__, "schema": evolved})
 
     # -- Phase 1: narrow winning-key aggregate. Only (key, lsn, op) leave

@@ -17,9 +17,12 @@ from scratch, on parquet + atomic metadata commits:
   At 10^10-row scale a microbatch touching 1% of key-space rewrites ~1%
   of the table, not all of it.
 * **Schema evolution** — the table schema lives in metadata; ADD COLUMN
-  and int->long->double widening are metadata-only (old files are read
-  through the evolved schema: missing columns read as null, narrow ints
-  upcast by the parquet reader).
+  and int->long / int->double widening are metadata-only (old files are
+  read through the evolved schema: missing columns read as null, narrow
+  ints upcast by the parquet reader). long->double is NOT a supported
+  reader upcast on this Spark build — ``merge_apply`` detects that
+  transition and folds a one-time file rewrite into the evolving commit
+  (``cdc/merge.py _widen_rewrite``).
 * **Snapshot properties** — arbitrary key/values (e.g. the CDC
   ``last-batch-id`` fence) committed atomically with the data change.
 

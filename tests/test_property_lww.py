@@ -183,3 +183,68 @@ def test_coalesced_replay_any_grouping_matches_oracle(
         assert got == want
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    events=st.lists(event_st, min_size=1, max_size=40),
+    n_batches=st.integers(min_value=2, max_value=4),
+    x_types=st.lists(st.sampled_from(["int", "long", "double"]), min_size=4, max_size=4),
+    extra_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+    mode=st.sampled_from(["cow", "mor"]),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_in_flight_schema_evolution_any_stream(
+    spark, events, n_batches, x_types, extra_mask, mode
+):
+    """North-rule pillar fuzzed: each batch ships its OWN payload schema —
+    column `x` with a per-batch type from the widening chain
+    (int/long/double in any order) and column `extra` present only in
+    some batches. The evolved table must read every key's winning values
+    through the final widened schema, with `extra` null unless the
+    WINNING event's batch carried it."""
+    rows = [
+        (lsn, min(lsn * n_batches // len(events), n_batches - 1),
+         op, f"r{k}", f"p{k}", f"c{k}", payload)
+        for lsn, (k, op, payload) in enumerate(events)
+    ]
+    batches = sorted(set(r[1] for r in rows))
+
+    root = tempfile.mkdtemp(prefix="prop_evo_")
+    try:
+        table = create_cdc_table(root + "/t", KEYS, num_buckets=4)
+        for b in batches:
+            t = x_types[b]
+            xval = (lambda p: p + 0.5) if t == "double" else (lambda p: p)
+            brows = [
+                ((lsn, op, r_, p_, c_, xval(payload), payload * 10)
+                 if extra_mask[b] else (lsn, op, r_, p_, c_, xval(payload)))
+                for (lsn, bb, op, r_, p_, c_, payload) in rows if bb == b
+            ]
+            schema = f"lsn long, op string, repo string, path string, commit string, x {t}"
+            if extra_mask[b]:
+                schema += ", extra long"
+            bdf = spark.createDataFrame(brows, schema)
+            m = merge_apply(spark, table, bdf, b, mode=mode)
+            assert not m.skipped
+        state = read_state(spark, table)
+        has_extra = any(extra_mask[b] for b in batches)
+        assert ("extra" in state.columns) == has_extra
+        got = {
+            (r["repo"], r["path"], r["commit"]):
+                (r["lsn"], float(r["x"]), r["extra"] if has_extra else None)
+            for r in state.collect()
+        }
+        want = {}
+        last = {}
+        for lsn, (k, op, payload) in enumerate(events):
+            last[k] = (lsn, op, payload)
+        for k, (lsn, op, payload) in last.items():
+            if op == "D":
+                continue
+            b = min(lsn * n_batches // len(events), n_batches - 1)
+            x = payload + 0.5 if x_types[b] == "double" else float(payload)
+            extra = payload * 10 if extra_mask[b] else None
+            want[(f"r{k}", f"p{k}", f"c{k}")] = (lsn, x, extra)
+        assert got == want
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
