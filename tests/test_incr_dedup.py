@@ -183,3 +183,59 @@ def test_band_index_is_bucket_pruned(spark, tmp_path, corpus):
             F.pmod(F.xxhash64("_band"), F.lit(isnap.num_buckets)).cast("int").alias("hb")
         ).distinct().collect()
         assert [r["hb"] for r in rows] == [b]
+
+
+def test_crash_between_index_and_corpus_commit_self_heals(spark, tmp_path, corpus, monkeypatch):
+    """The index commits FIRST under the batch fence; a crash before the
+    corpus commit leaves phantom index entries. The module docstring
+    claims this is self-healing: verification inner-joins corpus state
+    (phantoms drop out) and the deterministic redelivery re-keeps exactly
+    the ids the index already has. Inject the crash and prove it."""
+    import docetl_spark.functions.incr_dedup as mod
+    from docetl_spark.functions.incr_dedup import band_index_path
+    from docetl_spark.lake.table import LakeTable
+
+    # control: no crash
+    ctl = create_cdc_table(str(tmp_path / "ctl"), ["doc_id"], num_buckets=4,
+                           key_types={"doc_id": "int"})
+    dedup_ingest(spark, ctl, corpus.filter(F.col("doc_id") < 2), 0, "doc_id", "text",
+                 num_hashes=32, bands=16, threshold=0.6)
+    dedup_ingest(spark, ctl, corpus.filter(F.col("doc_id") >= 2), 1, "doc_id", "text",
+                 num_hashes=32, bands=16, threshold=0.6)
+    want = sorted(r["doc_id"] for r in read_state(spark, ctl).collect())
+
+    # crash run: batch 1's CORPUS commit dies after the INDEX commit
+    tbl = create_cdc_table(str(tmp_path / "t"), ["doc_id"], num_buckets=4,
+                           key_types={"doc_id": "int"})
+    dedup_ingest(spark, tbl, corpus.filter(F.col("doc_id") < 2), 0, "doc_id", "text",
+                 num_hashes=32, bands=16, threshold=0.6)
+
+    real_merge = mod.merge_apply
+
+    def crashing_merge(spark_, table_, changes, batch_id, **kw):
+        if table_.path == tbl.path and batch_id == 1:
+            raise RuntimeError("injected crash before corpus commit")
+        return real_merge(spark_, table_, changes, batch_id, **kw)
+
+    monkeypatch.setattr(mod, "merge_apply", crashing_merge)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dedup_ingest(spark, tbl, corpus.filter(F.col("doc_id") >= 2), 1, "doc_id", "text",
+                     num_hashes=32, bands=16, threshold=0.6)
+    monkeypatch.setattr(mod, "merge_apply", real_merge)
+
+    # phantom state: index fenced at 1, corpus fenced at 0
+    idx = LakeTable(band_index_path(tbl))
+    assert idx.snapshot().properties.get("cdc.last-batch-id") == "1"
+    assert tbl.snapshot().properties.get("cdc.last-batch-id") == "0"
+    phantom = idx.read(spark).select("_sid").distinct().count()
+
+    # redelivery: same batch, same id -> converges to the control state,
+    # index entries unchanged (its merge is fenced out), no double entries
+    st = dedup_ingest(spark, tbl, corpus.filter(F.col("doc_id") >= 2), 1, "doc_id", "text",
+                      num_hashes=32, bands=16, threshold=0.6)
+    assert not st.merge.skipped and st.index_entries == 0  # idx fenced
+    assert sorted(r["doc_id"] for r in read_state(spark, tbl).collect()) == want
+    assert idx.read(spark).select("_sid").distinct().count() == phantom
+    # and the index now exactly covers the live corpus
+    live = {r["doc_id"] for r in read_state(spark, tbl).collect()}
+    assert {r["_sid"] for r in idx.read(spark).select("_sid").distinct().collect()} == live
