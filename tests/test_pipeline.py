@@ -218,3 +218,39 @@ def test_pipeline_chunked_map_macro(spark, tmp_path):
     # deterministic across runs
     out3 = Pipeline.from_yaml(_write(tmp_path, cfg)).run(spark)
     assert {r["doc_id"]: r["n_chunks"] for r in out3.collect()} == rows2
+
+
+def test_cli_build_and_run(spark, tmp_path, monkeypatch):
+    """`cli build` expands chunked_map macros into the optimized YAML
+    (docetl build's deterministic residue); the expanded YAML then runs
+    identically to the macro form."""
+    import subprocess
+    import sys
+
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [{"name": "s1", "input": "docs", "operations": [
+            {"op": "filter", "where": "doc_id < 10"},
+            {"op": "chunked_map", "name": "kw", "split_key": "text",
+             "method": "delimiter", "delimiter": " ", "num_splits_to_group": 30,
+             "sub_expr": {"rc": "length(text_chunk_rendered)"},
+             "reduce_aggs": {"doc_id": "max(doc_id)", "n_chunks": "count(*)"}},
+        ]}],
+    }
+    src = _write(tmp_path, cfg)
+    out_yaml = str(tmp_path / "opt.yaml")
+    res = subprocess.run(
+        [sys.executable, "-m", "docetl_spark.plans.cli", "build", src, "-o", out_yaml],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr
+    assert "1 chunked_map op(s) expanded" in res.stdout
+    with open(out_yaml) as f:
+        opt = yaml.safe_load(f)
+    ops = opt["steps"][0]["operations"]
+    assert [o["op"] for o in ops] == ["filter", "split", "gather", "map", "reduce"]
+    assert ops[1]["name"] == "split_kw" and ops[4]["reduce_key"] == "split_kw_id"
+    # the expanded plan runs and matches the macro form
+    a = Pipeline.from_yaml(src).run(spark).orderBy("doc_id").collect()
+    b = Pipeline.from_yaml(out_yaml).run(spark).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["n_chunks"]) for r in a] == [(r["doc_id"], r["n_chunks"]) for r in b]
