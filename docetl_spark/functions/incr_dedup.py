@@ -380,6 +380,10 @@ def dedup_ingest(
             from docetl_spark.cdc.replay import compact_state
 
             compact_state(spark, idx, min_files=compact_index_files)
+            # the ingest is the index's only writer (it lives inside the
+            # corpus table directory), so dropping pre-compaction versions
+            # is safe and keeps a long ingest loop's disk bounded
+            idx.vacuum(keep_versions=2)
 
     n_kept = metrics.keys_in_batch if not metrics.skipped else 0
     return DedupIngestMetrics(
