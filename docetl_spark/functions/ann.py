@@ -312,7 +312,9 @@ def _ivf_candidate_pairs(
         "_qid", F.explode(_cell_assign_udf(centroids, n_probe)(F.col("_qv"))).alias("_cell")
     )
     return (
-        c_cells.join(q_cells, "_cell")
+        # query side is |Q| * n_probe rows — broadcast so the corpus-cell
+        # side never shuffles (AQE can miss this when the UDF hides stats)
+        c_cells.join(F.broadcast(q_cells), "_cell")
         .filter(F.col("_nid") != F.col("_qid"))
         .select("_qid", "_nid")
         .distinct()
