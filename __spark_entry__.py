@@ -1114,6 +1114,75 @@ LEFT JOIN (SELECT x, bool_or(kept) AS kept FROM dec GROUP BY x) g ON g.x = d.doc
 """
 
 
+def q_incremental_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding face of the incremental dedup ingest
+    (functions/incr_dedup.dedup_ingest(method='embedding')): hyperplane-
+    LSH banding into the same fenced banded index, exact cosine verify.
+    Near-dup structure is derived deterministically — every vec_id % 7
+    == 0 vector re-enters later with a fresh id as an EXACT copy, whose
+    identical sign pattern collides in every hyperplane table, so LSH
+    recall is structural (1.0) and the greedy decisions are value-
+    oracle-able against the brute-force cosine pair set."""
+    from docetl_spark.cdc import create_cdc_table, read_state
+    from docetl_spark.functions.incr_dedup import dedup_ingest
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    mx = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + F.lit(mx)).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(copies)
+    path = tempfile.mkdtemp(prefix="incr_dedup_emb_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["vec_id"], num_buckets=8, key_types={"vec_id": "long"})
+    cuts = [0, (2 * mx) // 3, (4 * mx) // 3, 2 * mx]
+    for b in range(3):
+        batch = corpus.filter((F.col("vec_id") >= cuts[b]) & (F.col("vec_id") < cuts[b + 1]))
+        dedup_ingest(spark, table, batch, b, "vec_id", method="embedding",
+                     embedding_col="embedding", threshold=0.9999,
+                     planes=10, lsh_tables=2)
+    kept = read_state(spark, table).select("vec_id", F.lit(True).alias("_k"))
+    return (
+        corpus.join(kept, "vec_id", "left")
+        .select("vec_id", F.coalesce(F.col("_k"), F.lit(False)).alias("kept"))
+    )
+
+
+# same bounded-round greedy CTE as ORACLE_INCR_DEDUP, pair set = brute
+# cosine >= 0.9999 over the copy-augmented corpus
+ORACLE_INCR_DEDUP_EMB = """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+p AS (
+  SELECT a.vec_id AS s, b.vec_id AS t
+  FROM corpus a, corpus b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.9999
+),
+nodes AS (SELECT DISTINCT x FROM (SELECT s AS x FROM p UNION SELECT t FROM p)),
+cnt AS (SELECT t, count(*) c FROM p GROUP BY t),
+dec(x, kept, r) AS (
+  SELECT x, true, 0 FROM nodes WHERE x NOT IN (SELECT t FROM p)
+  UNION ALL
+  (WITH cur AS (SELECT x, kept, r FROM dec)
+   SELECT x, kept, r + 1 FROM cur WHERE r < 16
+   UNION ALL
+   SELECT p.t, NOT bool_or(cur.kept), max(cur.r) + 1
+   FROM p JOIN cur ON cur.x = p.s
+   WHERE p.t NOT IN (SELECT x FROM cur)
+   GROUP BY p.t
+   HAVING count(DISTINCT p.s) = (SELECT c FROM cnt WHERE t = p.t) AND max(cur.r) < 16)
+)
+SELECT c.vec_id, coalesce(g.kept, true) AS kept
+FROM corpus c
+LEFT JOIN (SELECT x, bool_or(kept) AS kept FROM dec GROUP BY x) g ON g.x = c.vec_id
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures, bit-for-bit oracled: the per-token hash is
     md5[:8] little-endian, which DuckDB reproduces in SQL (unnest tokens ->
@@ -1719,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_minhash_lsh": q_near_dup_minhash_lsh,
         "dedup_by_pairs_docs": q_dedup_by_pairs_docs,
         "incremental_dedup_docs": q_incremental_dedup_docs,
+        "incremental_dedup_embedding": q_incremental_dedup_embedding,
         "simhash_docs": q_simhash_docs,
         "near_dup_embedding_exact": q_near_dup_embedding_exact,
         "knn_cosine_top5": q_knn_cosine_top5,
@@ -1773,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_minhash_lsh": ORACLE_MINHASH_LSH,
         "dedup_by_pairs_docs": ORACLE_DEDUP_PAIRS,
         "incremental_dedup_docs": ORACLE_INCR_DEDUP,
+        "incremental_dedup_embedding": ORACLE_INCR_DEDUP_EMB,
         "simhash_docs": ORACLE_SIMHASH,
         "near_dup_embedding_exact": ORACLE_EMB_EXACT,
         "knn_cosine_top5": ORACLE_KNN,

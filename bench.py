@@ -70,6 +70,7 @@ HEADLINE = [
     # round-4 surface
     "doc_chunking_macro",
     "knn_ivf_top5",
+    "incremental_dedup_embedding",
 ]
 
 

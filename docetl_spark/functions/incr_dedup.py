@@ -66,8 +66,8 @@ def _ensure_band_index(
     table: LakeTable,
     snap,
     id_field,
-    num_hashes: int,
-    bands: int,
+    band_expr_fn,
+    params: dict[str, str],
 ) -> LakeTable:
     """Open (or lazily create + backfill) the corpus's banded index.
 
@@ -85,7 +85,6 @@ def _ensure_band_index(
     from docetl_spark.cdc.replay import read_state
 
     idx = LakeTable(band_index_path(table))
-    params = {"dedup.num-hashes": str(num_hashes), "dedup.bands": str(bands)}
     if idx.exists():
         props = idx.snapshot().properties
         got = {k: props.get(k) for k in params}
@@ -109,7 +108,7 @@ def _ensure_band_index(
         stored = read_state(spark, table)
         entries = stored.select(
             F.col(snap.key_cols[0]).alias("_sid"),
-            F.explode(band_buckets(SIG_COL, num_hashes, bands)).alias("_band"),
+            F.explode(band_expr_fn(stored)).alias("_band"),
         )
         changes = entries.select(
             F.col("_sid").cast("long").alias("lsn"), F.lit("I").alias("op"),
@@ -229,29 +228,114 @@ class DedupIngestMetrics:
     index_entries: int = 0  # banded-index rows appended this batch
 
 
+def _minhash_strategy(id_col, text_col, num_hashes, bands, shingle_n, threshold):
+    """sign/band/verify triple for the minhash + trigram-jaccard method."""
+    jac = F.round(
+        F.size(F.array_intersect("_sh1", "_sh2"))
+        / F.greatest(F.size(F.array_union("_sh1", "_sh2")), F.lit(1)),
+        6,
+    ).cast("double")
+
+    def sign(batch):
+        return batch.withColumn(SIG_COL, minhash_signature(F.col(text_col), num_hashes, shingle_n))
+
+    def band(frame):
+        return band_buckets(SIG_COL, num_hashes, bands)
+
+    def verify(cands, left, right):
+        s1 = left.select(F.col(id_col).alias("_id1"), shingles(text_col, shingle_n).alias("_sh1"))
+        s2 = right.select(F.col(id_col).alias("_id2"), shingles(text_col, shingle_n).alias("_sh2"))
+        return (
+            cands.join(s1, "_id1").join(s2, "_id2")
+            .filter(jac >= threshold)
+            .select("_id1", "_id2")
+        )
+
+    params = {
+        "dedup.method": "minhash",
+        "dedup.num-hashes": str(num_hashes), "dedup.bands": str(bands),
+        "dedup.shingle-n": str(shingle_n),
+    }
+    return sign, band, verify, params
+
+
+def _embedding_strategy(id_col, embedding_col, dim, planes, lsh_tables, seed, threshold):
+    """sign/band/verify triple for the embedding method: hyperplane-LSH
+    tables band the vector space; exact cosine (rounded to 6, oracle-
+    reproducible) verifies candidates. No signature column is added —
+    the embedding itself is the stored signature."""
+    from docetl_spark.functions.dedup import hyperplane_bucket_array
+    from docetl_spark.functions.vectors import cosine
+
+    seeds = [seed + t for t in range(lsh_tables)]
+
+    def sign(batch):
+        return batch  # embedding column is the signature
+
+    def band(frame):
+        # mix the table index into each table's bucket so equal bucket ids
+        # from different tables never collide into one band value
+        arr = hyperplane_bucket_array(F.col(embedding_col), dim, planes, seeds)
+        return F.transform(arr, lambda x, i: F.xxhash64(x, i))
+
+    def verify(cands, left, right):
+        v1 = left.select(F.col(id_col).alias("_id1"), F.col(embedding_col).alias("_v1"))
+        v2 = right.select(F.col(id_col).alias("_id2"), F.col(embedding_col).alias("_v2"))
+        cos = F.round(cosine("_v1", "_v2"), 6).cast("double")
+        return (
+            cands.join(v1, "_id1").join(v2, "_id2")
+            .filter(cos >= threshold)
+            .select("_id1", "_id2")
+        )
+
+    params = {
+        "dedup.method": "embedding", "dedup.dim": str(dim),
+        "dedup.planes": str(planes), "dedup.tables": str(lsh_tables),
+        "dedup.seed": str(seed),
+    }
+    return sign, band, verify, params
+
+
 def dedup_ingest(
     spark: SparkSession,
     table: LakeTable,
     batch: DataFrame,
     batch_id: int,
     id_col: str,
-    text_col: str,
+    text_col: str | None = None,
     num_hashes: int = 32,
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.8,
     mode: str = "cow",
     compact_index_files: int | None = 16,
+    method: str = "minhash",
+    embedding_col: str | None = None,
+    dim: int | None = None,
+    planes: int = 12,
+    lsh_tables: int = 4,
+    seed: int = 42,
 ) -> DedupIngestMetrics:
     """Ingest one fenced batch into the deduped corpus ``table``.
 
     The table must be keyed on ``id_col`` (create with
     ``LakeTable.create(path, key_cols=[id_col], ...)`` /
-    ``create_cdc_table``); the stored schema is the batch schema plus
-    ``_sig array<long>``. Kept rows commit as insert ops with
+    ``create_cdc_table``). Kept rows commit as insert ops with
     ``lsn = id`` (ids are unique, LWW is vacuous). A batch whose id has
     already committed is fully skipped — the dedup work itself is fenced,
     not just the write.
+
+    Two near-dup methods share the fence + banded-index machinery:
+
+    * ``method="minhash"`` (default) — ``text_col`` is minhash-signed
+      (stored schema gains ``_sig array<long>``), banded-LSH blocked,
+      exact trigram-jaccard verified at ``threshold``.
+    * ``method="embedding"`` — ``embedding_col`` (``array<float/double>``,
+      fixed ``dim``; inferred from the first row when None) is banded by
+      ``lsh_tables`` hyperplane tables of ``planes`` bits and verified by
+      exact cosine >= ``threshold`` (rounded to 6 — the oracle-
+      reproducible comparison). The embedding itself is the stored
+      signature; no extra column is written.
     """
     id_type = batch.schema[id_col].dataType.typeName()
     if id_type not in ("byte", "short", "integer", "long"):
@@ -262,34 +346,37 @@ def dedup_ingest(
             f"dedup_ingest needs an integral id_col; {id_col!r} is {id_type} "
             "(derive one upstream, e.g. xxhash64 of a natural key)"
         )
+    if method == "minhash":
+        if not text_col:
+            raise ValueError("method='minhash' needs text_col")
+        sign, band_expr_fn, verified, params = _minhash_strategy(
+            id_col, text_col, num_hashes, bands, shingle_n, threshold)
+    elif method == "embedding":
+        if not embedding_col:
+            raise ValueError("method='embedding' needs embedding_col")
+        if dim is None:
+            first = batch.select(embedding_col).filter(F.col(embedding_col).isNotNull()).first()
+            if first is None:
+                raise ValueError("cannot infer dim from an all-null embedding batch; pass dim=")
+            dim = len(first[0])
+        sign, band_expr_fn, verified, params = _embedding_strategy(
+            id_col, embedding_col, dim, planes, lsh_tables, seed, threshold)
+    else:
+        raise ValueError(f"unknown dedup_ingest method {method!r}")
+
     snap = table.snapshot()
     if batch_id <= int(snap.properties.get(FENCE_PROP, "-1")):
         return DedupIngestMetrics(
             merge=MergeMetrics(batch_id=batch_id, skipped=True, snapshot_version=snap.version)
         )
 
-    signed = batch.withColumn(SIG_COL, minhash_signature(F.col(text_col), num_hashes, shingle_n))
+    signed = sign(batch)
     signed = signed.localCheckpoint()  # pin: sigs feed banding, verify, and the write
-    jac = F.round(
-        F.size(F.array_intersect("_sh1", "_sh2"))
-        / F.greatest(F.size(F.array_union("_sh1", "_sh2")), F.lit(1)),
-        6,
-    ).cast("double")
 
-    def verified(cands: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
-        """Exact n-gram jaccard >= threshold over candidate (_id1,_id2)."""
-        s1 = left.select(F.col(id_col).alias("_id1"), shingles(text_col, shingle_n).alias("_sh1"))
-        s2 = right.select(F.col(id_col).alias("_id2"), shingles(text_col, shingle_n).alias("_sh2"))
-        return (
-            cands.join(s1, "_id1").join(s2, "_id2")
-            .filter(jac >= threshold)
-            .select("_id1", "_id2")
-        )
-
-    bb = band_buckets(SIG_COL, num_hashes, bands)
+    bb = band_expr_fn(signed)
     batch_banded = signed.select(F.col(id_col).alias("_bid"), F.explode(bb).alias("_band"))
 
-    idx = _ensure_band_index(spark, table, snap, batch.schema[id_col], num_hashes, bands)
+    idx = _ensure_band_index(spark, table, snap, batch.schema[id_col], band_expr_fn, params)
     has_stored = bool(snap.files) or snap.properties.get("cdc.has-deltas") == "true"
     dropped_cross = spark.createDataFrame([], f"_id {batch.schema[id_col].dataType.simpleString()}")
     if has_stored:

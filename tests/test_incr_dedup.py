@@ -159,8 +159,8 @@ def test_cross_batch_blocking_reads_index_not_corpus(spark, tmp_path, corpus):
 
     # banding parameters are pinned: different bands must fail loudly
     with pytest.raises(ValueError, match="band index"):
-        _ensure_band_index(spark, table, table.snapshot(),
-                           near2.schema["doc_id"], 32, 8)
+        dedup_ingest(spark, table, near2, 3, "doc_id", "text",
+                     num_hashes=32, bands=8, threshold=0.6)
 
 
 def test_band_index_is_bucket_pruned(spark, tmp_path, corpus):
@@ -239,3 +239,50 @@ def test_crash_between_index_and_corpus_commit_self_heals(spark, tmp_path, corpu
     # and the index now exactly covers the live corpus
     live = {r["doc_id"] for r in read_state(spark, tbl).collect()}
     assert {r["_sid"] for r in idx.read(spark).select("_sid").distinct().collect()} == live
+
+
+def test_embedding_method_batch_invariance(spark, tmp_path):
+    """dedup_ingest(method='embedding'): hyperplane banding + exact cosine
+    verify through the same fence/index machinery; one big batch and
+    id-ordered splits retain the same set."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, 16)
+    vecs = {
+        0: base,
+        1: base * 1.0001,              # exact-direction copy of 0 -> dropped
+        2: rng.normal(0, 1, 16),
+        3: rng.normal(0, 1, 16),
+        4: base + rng.normal(0, 0.001, 16),  # near-copy of 0 -> dropped
+        5: rng.normal(0, 1, 16),
+    }
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in vecs.items()], "vec_id long, embedding array<double>")
+
+    def run(splits, tag):
+        t = create_cdc_table(str(tmp_path / tag), ["vec_id"], num_buckets=4,
+                             key_types={"vec_id": "long"})
+        stats = []
+        for b, (lo, hi) in enumerate(splits):
+            batch = df.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            stats.append(dedup_ingest(spark, t, batch, b, "vec_id", method="embedding",
+                                      embedding_col="embedding", dim=16,
+                                      threshold=0.999, planes=8, lsh_tables=4))
+        return sorted(r["vec_id"] for r in read_state(spark, t).collect()), stats
+
+    kept1, _ = run([(0, 6)], "one")
+    kept3, stats3 = run([(0, 2), (2, 4), (4, 6)], "three")
+    assert kept1 == kept3 == [0, 2, 3, 5]
+    assert stats3[0].dropped_within == 1   # 1 drops vs 0 within batch 0
+    assert stats3[1].dropped_cross == 0
+    assert stats3[2].dropped_cross == 1    # 4 drops vs stored 0
+    # index params pinned per method: re-ingesting with minhash must fail
+    t = create_cdc_table(str(tmp_path / "pin"), ["vec_id"], num_buckets=4,
+                         key_types={"vec_id": "long"})
+    dedup_ingest(spark, t, df.filter("vec_id < 3").withColumn("text", F.lit("x")),
+                 0, "vec_id", method="embedding", embedding_col="embedding",
+                 dim=16, threshold=0.999)
+    with pytest.raises(ValueError, match="band index"):
+        dedup_ingest(spark, t, df.filter("vec_id >= 3").withColumn("text", F.lit("x")),
+                     1, "vec_id", "text")
