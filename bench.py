@@ -70,7 +70,9 @@ HEADLINE = [
     # round-4 surface
     "doc_chunking_macro",
     "knn_ivf_top5",
-    "incremental_dedup_embedding",
+    # (incremental_dedup_docs / _embedding stay off the board like every
+    # multi-commit ingest pipeline: ~15s each at sf0.1, 3 fenced ingests
+    # per run — correctness-gated via the oracle, not timed per round)
 ]
 
 
