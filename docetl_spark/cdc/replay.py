@@ -170,9 +170,16 @@ def replay_events(
     pending batches as ONE fenced commit (``batch_id`` = the group's max).
     LWW by LSN is associative across batches — the union's per-key max-LSN
     winner equals sequential application — so the final state is
-    byte-identical while the per-commit serial floor (snapshot read, stats
-    job, write-job launch, metadata fsync) is paid once per group instead
-    of once per tiny batch. Exactly-once holds: the fence records the
+    byte-identical for streams whose LSNs are unique per key (the
+    standard WAL/binlog property) while the per-commit serial floor
+    (snapshot read, stats job, write-job launch, metadata fsync) is paid
+    once per group instead of once per tiny batch. ANOMALOUS streams that
+    repeat a (key, LSN) pair across batches of one group resolve the tie
+    with the deterministic struct-max tiebreak (the same rule a
+    duplicate-LSN pair inside a single batch always gets) instead of
+    sequential replay's stored-row-wins — both deterministic, but they
+    can pick different rows when the duplicated LSN carries divergent
+    payloads; don't coalesce such streams if first-delivery-wins matters. Exactly-once holds: the fence records the
     group max, so redelivery of any constituent batch is skipped; a crash
     mid-group re-applies the whole group (no partial state was committed).
     Lineage granularity becomes per-group (one MergeMetrics; min/max LSN

@@ -79,20 +79,47 @@ def _ensure_band_index(
     under the corpus's current fence so the index fence tracks corpus
     batch ids from then on. The banding parameters are pinned in the
     index properties; a later call with different ones must fail loudly
-    (its buckets would be incomparable)."""
+    (its buckets would be incomparable).
+
+    Crash safety: index creation and the backfill are TWO commits, so a
+    crash between them (or mid-backfill) leaves an existing index whose
+    fence trails the corpus fence. Every open therefore re-checks
+    idx_fence >= corpus_fence and re-runs the (idempotent, fenced)
+    backfill when behind — re-inserted (band, sid) keys are exact
+    duplicates that the downstream ``distinct()`` and compaction fold
+    away, so repair never corrupts, only completes."""
     from pyspark.sql import types as T
 
     from docetl_spark.cdc.replay import read_state
 
+    corpus_fence = int(snap.properties.get(FENCE_PROP, "-1"))
+
+    def backfill(idx_table: LakeTable) -> None:
+        stored = read_state(spark, table)
+        entries = stored.select(
+            F.col(snap.key_cols[0]).alias("_sid"),
+            F.explode(band_expr_fn(stored)).alias("_band"),
+        )
+        changes = entries.select(
+            F.col("_sid").cast("long").alias("lsn"), F.lit("I").alias("op"),
+            "_band", "_sid",
+        )
+        merge_apply(spark, idx_table, changes, batch_id=corpus_fence, mode="mor")
+
     idx = LakeTable(band_index_path(table))
     if idx.exists():
-        props = idx.snapshot().properties
-        got = {k: props.get(k) for k in params}
+        iprops = idx.snapshot().properties
+        got = {k: iprops.get(k) for k in params}
         if got != params:
             raise ValueError(
                 f"band index at {idx.path} was built with {got}, "
                 f"called with {params} — rebuild the index to change banding"
             )
+        if corpus_fence >= 0 and int(iprops.get(FENCE_PROP, "-1")) < corpus_fence:
+            # interrupted creation/backfill: the index is missing entries
+            # for already-committed corpus batches — silent recall loss if
+            # left as-is. Repair by re-running the fenced backfill.
+            backfill(idx)
         return idx
     schema = T.StructType([
         T.StructField("_band", T.LongType(), False),
@@ -103,18 +130,8 @@ def _ensure_band_index(
         num_buckets=snap.num_buckets, bucket_cols=["_band"],
         properties=params,
     )
-    fence = int(snap.properties.get(FENCE_PROP, "-1"))
-    if fence >= 0:
-        stored = read_state(spark, table)
-        entries = stored.select(
-            F.col(snap.key_cols[0]).alias("_sid"),
-            F.explode(band_expr_fn(stored)).alias("_band"),
-        )
-        changes = entries.select(
-            F.col("_sid").cast("long").alias("lsn"), F.lit("I").alias("op"),
-            "_band", "_sid",
-        )
-        merge_apply(spark, idx, changes, batch_id=fence, mode="mor")
+    if corpus_fence >= 0:
+        backfill(idx)
     return idx
 
 
@@ -355,10 +372,17 @@ def dedup_ingest(
         if not embedding_col:
             raise ValueError("method='embedding' needs embedding_col")
         if dim is None:
-            first = batch.select(embedding_col).filter(F.col(embedding_col).isNotNull()).first()
-            if first is None:
-                raise ValueError("cannot infer dim from an all-null embedding batch; pass dim=")
-            dim = len(first[0])
+            # prefer the dimension pinned in an existing index (free);
+            # only a first-ever batch pays the inference job
+            _idx = LakeTable(band_index_path(table))
+            pinned = _idx.snapshot().properties.get("dedup.dim") if _idx.exists() else None
+            if pinned is not None:
+                dim = int(pinned)
+            else:
+                first = batch.select(embedding_col).filter(F.col(embedding_col).isNotNull()).first()
+                if first is None:
+                    raise ValueError("cannot infer dim from an all-null embedding batch; pass dim=")
+                dim = len(first[0])
         sign, band_expr_fn, verified, params = _embedding_strategy(
             id_col, embedding_col, dim, planes, lsh_tables, seed, threshold)
     else:
@@ -384,8 +408,10 @@ def dedup_ingest(
         # of this batch's band values — per-batch cost scales with the
         # batch and the touched index buckets, not with the corpus
         isnap = idx.snapshot()
-        ihash = F.pmod(F.xxhash64(F.col("_band")), F.lit(isnap.num_buckets)).cast("int")
-        ibuckets = _affected_hash_buckets(batch_banded, ihash)
+        # the SAME bucket function the index files were written with
+        # (bucket_cols=['_band']); never hand-roll a copy that could
+        # desynchronize from a future bucket-recipe change
+        ibuckets = _affected_hash_buckets(batch_banded, idx.bucket_expr(isnap))
         entries = idx.read_buckets(
             spark, [b for b in ibuckets if b in isnap.files], isnap
         ).select("_band", "_sid")  # MOR deltas are insert-only unique rows

@@ -12,6 +12,7 @@ A bare ``cli.py pipeline.yaml`` (no verb) still runs — the pre-r4 form.
 from __future__ import annotations
 
 import argparse
+import os
 
 from docetl_spark.plans.pipeline import run_pipeline
 
@@ -29,7 +30,14 @@ def _build(pipeline_path: str, output_path: str | None) -> None:
         if any(op.get("op") == "chunked_map" for op in ops):
             n_rewritten += sum(1 for op in ops if op.get("op") == "chunked_map")
             step["operations"] = rewrite_chunked_maps(ops)
-    out = output_path or pipeline_path.replace(".yaml", "_opt.yaml")
+    if output_path:
+        out = output_path
+    else:
+        base, ext = os.path.splitext(pipeline_path)
+        out = f"{base}_opt{ext or '.yaml'}"
+    if os.path.abspath(out) == os.path.abspath(pipeline_path):
+        # never clobber the source pipeline (e.g. -o pointing back at it)
+        raise SystemExit(f"build: refusing to overwrite the input pipeline {pipeline_path!r}; pass -o")
     with open(out, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
     print(f"build complete: {n_rewritten} chunked_map op(s) expanded -> {out}")

@@ -135,20 +135,54 @@ def pptx_to_string(
     doc_per_slide: bool = False,
 ) -> list[dict]:
     """PowerPoint -> text per presentation (or one row per slide with
-    ``doc_per_slide``): for each slide in numeric order, every
+    ``doc_per_slide``): for each slide in PRESENTATION order, every
     text-bearing shape (``txBody``) contributes its paragraphs joined by
     newlines (reference parsing_tools.py:189-226 via python-pptx
-    ``shape.text`` semantics)."""
+    ``shape.text`` semantics).
+
+    Slide order comes from ``ppt/presentation.xml``'s ``sldIdLst``
+    resolved through the presentation rels — PowerPoint reorders decks by
+    rewriting that list WITHOUT renaming slideN.xml parts, so filename
+    order is stale for reordered decks (python-pptx follows the list;
+    numeric part order is only the fallback for archives missing the
+    manifest)."""
     import zipfile
 
     path = item[input_key]
     with zipfile.ZipFile(path) as zf:
         import re as _re
 
-        slides = sorted(
-            (m for m in zf.namelist() if _re.fullmatch(r"ppt/slides/slide\d+\.xml", m)),
-            key=lambda m: int(_re.search(r"(\d+)", m).group(1)),
-        )
+        names = set(zf.namelist())
+        slides: list[str] = []
+        if "ppt/presentation.xml" in names and "ppt/_rels/presentation.xml.rels" in names:
+            rels_root = _zip_xml(path, "ppt/_rels/presentation.xml.rels")
+            rid_to_target = {
+                rel.get("Id"): rel.get("Target")
+                for rel in rels_root if _local(rel.tag) == "Relationship"
+            }
+            pres = _zip_xml(path, "ppt/presentation.xml")
+            for el in pres.iter():
+                if _local(el.tag) != "sldId":
+                    continue
+                # sldId carries BOTH a bare id= (the slide id number) and
+                # the namespaced r:id= relationship — only the qualified
+                # one resolves through the rels map
+                rid = next(
+                    (v for k, v in el.attrib.items() if "}" in k and _local(k) == "id"),
+                    None,
+                )
+                target = rid_to_target.get(rid)
+                if target:
+                    member = target.lstrip("/")
+                    if not member.startswith("ppt/"):
+                        member = "ppt/" + member
+                    if member in names:
+                        slides.append(member)
+        if not slides:
+            slides = sorted(
+                (m for m in names if _re.fullmatch(r"ppt/slides/slide\d+\.xml", m)),
+                key=lambda m: int(_re.search(r"(\d+)", m).group(1)),
+            )
     out: list[dict] = []
     all_shapes: list[str] = []
     for member in slides:
@@ -194,25 +228,36 @@ def _xlsx_cell_value(c, shared: list[str]):
 
 
 def _xlsx_sheet_grid(root, shared: list[str]) -> list[list]:
-    """Sheet XML -> dense row-major grid (None for absent cells)."""
+    """Sheet XML -> dense row-major grid (None for absent cells).
+
+    The ``r=`` cell reference is OPTIONAL in OOXML (position is implied
+    from document order when omitted — several minimal writers skip it to
+    save space); an implied cursor tracks (row from the <row r=>, column
+    = previous cell's column + 1), matching openpyxl's reconstruction."""
     import re as _re
 
     cells: dict[tuple[int, int], object] = {}
     max_r = max_c = 0
+    implied_row = 0
     for row in root.iter():
         if _local(row.tag) != "row":
             continue
+        implied_row = int(row.get("r")) if row.get("r") else implied_row + 1
+        cur_col = 0
         for c in row:
             if _local(c.tag) != "c":
                 continue
             ref = c.get("r") or ""
             m = _re.match(r"([A-Z]+)(\d+)", ref)
-            if not m:
-                continue
-            col = 0
-            for ch in m.group(1):
-                col = col * 26 + (ord(ch) - 64)
-            r = int(m.group(2))
+            if m:
+                col = 0
+                for ch in m.group(1):
+                    col = col * 26 + (ord(ch) - 64)
+                r = int(m.group(2))
+            else:
+                col = cur_col + 1
+                r = implied_row
+            cur_col = col
             cells[(r, col)] = _xlsx_cell_value(c, shared)
             max_r, max_c = max(max_r, r), max(max_c, col)
     return [[cells.get((r, c)) for c in range(1, max_c + 1)] for r in range(1, max_r + 1)]

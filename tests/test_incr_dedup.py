@@ -286,3 +286,48 @@ def test_embedding_method_batch_invariance(spark, tmp_path):
     with pytest.raises(ValueError, match="band index"):
         dedup_ingest(spark, t, df.filter("vec_id >= 3").withColumn("text", F.lit("x")),
                      1, "vec_id", "text")
+
+
+def test_interrupted_backfill_repairs_on_next_open(spark, tmp_path, corpus, monkeypatch):
+    """A crash between index CREATION and the backfill commit must not
+    leave a permanently empty index (silent recall loss): the next open
+    detects idx_fence < corpus_fence and re-runs the fenced backfill."""
+    import docetl_spark.functions.incr_dedup as mod
+    from docetl_spark.functions.incr_dedup import band_index_path
+    from docetl_spark.lake.table import LakeTable
+
+    table = create_cdc_table(str(tmp_path / "t"), ["doc_id"], num_buckets=4,
+                             key_types={"doc_id": "int"})
+    # seed the corpus, then delete the index (pre-index corpus migration)
+    dedup_ingest(spark, table, corpus.filter(F.col("doc_id").isin(0, 2, 4)),
+                 0, "doc_id", "text", num_hashes=32, bands=16, threshold=0.6)
+    import shutil as _sh
+
+    _sh.rmtree(band_index_path(table))
+
+    # crash the backfill merge during the lazy recreate
+    real_merge = mod.merge_apply
+    idx_path = band_index_path(table)
+
+    def crashing_merge(spark_, table_, changes, batch_id, **kw):
+        if table_.path == idx_path:
+            raise RuntimeError("injected backfill crash")
+        return real_merge(spark_, table_, changes, batch_id, **kw)
+
+    monkeypatch.setattr(mod, "merge_apply", crashing_merge)
+    near = corpus.filter(F.col("doc_id") == 5)  # near-dup of stored doc 0
+    with pytest.raises(RuntimeError, match="injected backfill crash"):
+        dedup_ingest(spark, table, near, 1, "doc_id", "text",
+                     num_hashes=32, bands=16, threshold=0.6)
+    monkeypatch.setattr(mod, "merge_apply", real_merge)
+
+    # index exists but is EMPTY and behind the corpus fence
+    idx = LakeTable(idx_path)
+    assert idx.exists()
+    assert int(idx.snapshot().properties.get("cdc.last-batch-id", "-1")) < 0
+
+    # next ingest repairs the backfill first -> near-dup IS blocked
+    st = dedup_ingest(spark, table, near, 1, "doc_id", "text",
+                      num_hashes=32, bands=16, threshold=0.6)
+    assert st.dropped_cross == 1 and st.kept == 0
+    assert sorted(r["doc_id"] for r in read_state(spark, table).collect()) == [0, 2, 4]

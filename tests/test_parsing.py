@@ -232,3 +232,51 @@ def test_parser_overwriting_typed_column_keeps_type(spark):
         user_tools={"bump": lambda item, input_key="n", output_key="n": [{output_key: float(item[input_key])}]},
     )
     assert dict(out2.dtypes)["n"] == "double"
+
+
+def test_pptx_presentation_order_wins(tmp_path):
+    """Reordered decks: PowerPoint rewrites presentation.xml's sldIdLst
+    without renaming slideN.xml parts — the manifest order must win over
+    filename order (python-pptx semantics)."""
+    import zipfile
+
+    def slide(txt):
+        return (f'<p:sld xmlns:p="{_P}"><p:cSld><p:spTree><p:sp>'
+                f'<p:txBody xmlns:a="{_A}"><a:p><a:r><a:t>{txt}</a:t></a:r></a:p>'
+                f"</p:txBody></p:sp></p:spTree></p:cSld></p:sld>")
+
+    pres = (
+        f'<p:presentation xmlns:p="{_P}" xmlns:r="{_R}"><p:sldIdLst>'
+        '<p:sldId id="257" r:id="rId2"/><p:sldId id="256" r:id="rId1"/>'
+        "</p:sldIdLst></p:presentation>"
+    )
+    rels = (
+        f'<Relationships xmlns="{_PKR}">'
+        '<Relationship Id="rId1" Target="slides/slide1.xml"/>'
+        '<Relationship Id="rId2" Target="slides/slide2.xml"/></Relationships>'
+    )
+    p = str(tmp_path / "reordered.pptx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("ppt/presentation.xml", pres)
+        z.writestr("ppt/_rels/presentation.xml.rels", rels)
+        z.writestr("ppt/slides/slide1.xml", slide("first-authored"))
+        z.writestr("ppt/slides/slide2.xml", slide("second-authored"))
+    [row] = PARSERS["pptx_to_string"]({"path": p})
+    # sldIdLst puts slide2 first
+    assert row["text"] == "second-authored\nfirst-authored"
+
+
+def test_xlsx_implied_cell_positions(tmp_path):
+    """Cells without the optional r= reference take implied positions
+    (document order), like openpyxl's reconstruction."""
+    import zipfile
+
+    sheet = f"""<worksheet xmlns="{_S}"><sheetData>
+      <row><c t="inlineStr"><is><t>h1</t></is></c><c t="inlineStr"><is><t>h2</t></is></c></row>
+      <row><c><v>1</v></c><c><v>2</v></c></row>
+    </sheetData></worksheet>"""
+    p = str(tmp_path / "implied.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    [row] = PARSERS["xlsx_to_string"]({"path": p}, orientation="row")
+    assert row["text"] == "h1: 1 | h2: 2"

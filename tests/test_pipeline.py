@@ -254,3 +254,31 @@ def test_cli_build_and_run(spark, tmp_path, monkeypatch):
     a = Pipeline.from_yaml(src).run(spark).orderBy("doc_id").collect()
     b = Pipeline.from_yaml(out_yaml).run(spark).orderBy("doc_id").collect()
     assert [(r["doc_id"], r["n_chunks"]) for r in a] == [(r["doc_id"], r["n_chunks"]) for r in b]
+
+
+def test_cli_build_yml_suffix_and_inplace_guard(tmp_path):
+    """build on a .yml input must not silently overwrite the source (the
+    old .yaml-substring replace was a no-op for .yml)."""
+    import subprocess
+    import sys
+
+    cfg = {"datasets": {}, "steps": [{"name": "s", "input": "x", "operations": [
+        {"op": "filter", "where": "1=1"}]}]}
+    src = str(tmp_path / "p.yml")
+    with open(src, "w") as f:
+        yaml.safe_dump(cfg, f)
+    before = open(src).read()
+    res = subprocess.run(
+        [sys.executable, "-m", "docetl_spark.plans.cli", "build", src],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr
+    assert open(src).read() == before  # source untouched
+    assert os.path.exists(str(tmp_path / "p_opt.yml"))
+    # explicit -o back onto the source refuses
+    res2 = subprocess.run(
+        [sys.executable, "-m", "docetl_spark.plans.cli", "build", src, "-o", src],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res2.returncode != 0
+    assert "refusing to overwrite" in (res2.stderr + res2.stdout)
