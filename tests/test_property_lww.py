@@ -169,6 +169,11 @@ def test_coalesced_replay_any_grouping_matches_oracle(
         cut = batches[: prefix % len(batches)]
         if cut:
             replay_events(spark, table, df.filter(F.col("batch_id").isin(cut)))
+            # maintenance between the prefix and the coalesced resume:
+            # compaction must not disturb the fence or the group merge
+            from docetl_spark.cdc import compact_state
+
+            compact_state(spark, table)
         # ...then resume the remainder coalesced
         metrics = replay_events(spark, table, df, coalesce_batches=group)
         assert all(not m.skipped for m in metrics)
