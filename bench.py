@@ -222,7 +222,15 @@ def run_queries(master: str, sf_dir: str, shuffle_partitions: int, names: list[s
             t0 = time.time()
             _materialize(qs[name](spark, sf_dir))
             samples[name].append(time.time() - t0)
-    return {name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()}
+    return {name: round(_median(ts), 3) for name, ts in samples.items()}
+
+
+def _median(ts: list[float]) -> float:
+    """True median — averages the two middle samples for even counts
+    (``sorted(ts)[n // 2]`` is the upper-middle, biased high)."""
+    s = sorted(ts)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
 def scaling(n_events: int, batch_size: int, n_cores: int = 2, repeats: int = 3) -> dict:

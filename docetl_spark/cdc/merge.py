@@ -85,8 +85,9 @@ class MergeMetrics:
 
 def _unsupported_upcast_paths(old: T.DataType, new: T.DataType, path: str = "") -> list[str]:
     """Column paths whose widening the parquet VECTORIZED READER cannot
-    apply at read time. Probed on this Spark build: INT32->INT64 and
-    INT32->double upcast fine; **INT64->double does not** — reading an
+    apply at read time. Probed on this Spark build: INT32->INT64,
+    INT32->double and FLOAT->double (top-level AND nested in
+    array/struct) upcast fine; **INT64->double does not** — reading an
     old long-typed file through a double-evolved schema throws
     PARQUET_COLUMN_DATA_TYPE_MISMATCH. Such widenings need a one-time
     file rewrite (``_widen_rewrite``); everything else stays

@@ -165,11 +165,14 @@ def greedy_first_kept(
         T.StructField("_id", pairs.schema["_id1"].dataType, True),
         T.StructField("kept", T.BooleanType(), True),
     ])
-    # one job answers both "empty?" and "driver-sized?"
+    # checkpoint BEFORE the limit-probe: the verify pipeline behind
+    # `pairs` is expensive and must execute exactly once — without the
+    # pin, the above-threshold distributed path would re-run it for the
+    # edges scan after the probe collect already ran it in full
+    pairs = pairs.select("_id1", "_id2").localCheckpoint()
     # one job answers "empty?", "driver-sized?" AND fetches the driver
-    # path's rows — the verify pipeline behind `pairs` is expensive and
-    # must not run once for a count and again for a collect
-    rows = pairs.select("_id1", "_id2").limit(driver_threshold + 1).collect()
+    # path's rows from the checkpointed blocks
+    rows = pairs.limit(driver_threshold + 1).collect()
     if not rows:
         return pairs.sparkSession.createDataFrame([], out_schema)
     if len(rows) <= driver_threshold:
@@ -177,7 +180,8 @@ def greedy_first_kept(
         # near-dup graphs are sparse, and the sequential greedy over a
         # collected edge list replaces ~6 Spark jobs per decision round
         # with one collect. Above the threshold the distributed
-        # round-based loop below takes over (re-running the pair plan).
+        # round-based loop below takes over (reading the same pinned
+        # pairs — the verify plan never executes twice).
         smaller: dict = {}
         for r in rows:
             s, t = (r["_id1"], r["_id2"]) if r["_id1"] < r["_id2"] else (r["_id2"], r["_id1"])
@@ -190,7 +194,7 @@ def greedy_first_kept(
 
     edges = pairs.select(
         F.least("_id1", "_id2").alias("_s"), F.greatest("_id1", "_id2").alias("_t")
-    ).distinct().localCheckpoint()
+    ).distinct().localCheckpoint()  # reads the pinned pairs, not the verify plan
     nodes = (
         edges.select(F.col("_s").alias("_id"))
         .unionByName(edges.select(F.col("_t").alias("_id")))

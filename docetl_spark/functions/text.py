@@ -129,6 +129,121 @@ def _preprocess_query(query: str) -> list[str]:
     return [t for t in _re.sub(r"\s+", " ", _re.sub(r"[^a-z0-9\s]", " ", query.lower())).strip().split() if t]
 
 
+class Bm25Stats:
+    """Reusable Okapi BM25 corpus statistics: fit ONCE, score many.
+
+    ``fit`` pays the corpus scans a single time — one narrow count/avgdl
+    aggregate, one word-count shuffle whose (word, df) result is
+    localCheckpoint-pinned, one bounded avg-idf aggregate over the pinned
+    vocab. Every subsequent ``score(query)`` costs at most one TINY job
+    (a filtered lookup of the query's unseen terms against the pinned
+    vocab — cached per instance, so repeated terms cost zero jobs) plus
+    the lazy per-row scoring fold. This is the shape repeated
+    ``topk(method='fts')`` calls and macro pipelines need: the corpus is
+    never re-scanned per call (``bm25_score``'s former contract was two
+    eager corpus jobs EVERY call).
+
+    The pinned vocab is (word, df) pairs — bounded by vocabulary size,
+    not corpus size, and stored on executors (no driver collect of the
+    vocabulary; only ~|query| scalars ever reach the driver)."""
+
+    def __init__(self, n_docs: int, avgdl: float, avg_idf: float, vocab,
+                 k1: float, b: float, epsilon: float, text_col: str = "text"):
+        self._text_col = text_col
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+        self.avg_idf = avg_idf
+        self.k1, self.b, self.epsilon = k1, b, epsilon
+        self._vocab = vocab  # pinned (word, df) frame; None for empty corpus
+        self._df_cache: dict[str, int | None] = {}
+
+    @classmethod
+    def fit(cls, df, text_col: str, k1: float = 1.5, b: float = 0.75,
+            epsilon: float = 0.25) -> "Bm25Stats":
+        toks = fts_tokens(text_col)
+        r1 = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("tot")
+        ).collect()[0]
+        n_docs, total_len = int(r1["n"] or 0), int(r1["tot"] or 0)
+        if n_docs == 0:
+            return cls(0, 1.0, 0.0, None, k1, b, epsilon, text_col)
+        avgdl = (total_len / n_docs) or 1.0
+        # the word-count shuffle (map-side-combined) — pinned so later
+        # queries look up term dfs without touching the corpus again
+        vocab = (
+            df.select(F.explode(F.array_distinct(toks)).alias("_w"))
+            .groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+            .localCheckpoint()
+        )
+        idf_raw = (
+            F.log(F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+            - F.log(F.col("_df") + F.lit(0.5))
+        )
+        avg_idf = float(vocab.agg(F.avg(idf_raw)).collect()[0][0] or 0.0)
+        return cls(n_docs, avgdl, avg_idf, vocab, k1, b, epsilon, text_col)
+
+    def term_idfs(self, terms: list[str]) -> dict[str, float]:
+        """Per-term BM25Okapi idf (eps-floored); one bounded vocab-lookup
+        job for terms not yet cached, zero jobs otherwise."""
+        uniq = list(dict.fromkeys(terms))
+        missing = [t for t in uniq if t not in self._df_cache]
+        if missing and self._vocab is not None:
+            rows = (
+                self._vocab.filter(F.col("_w").isin(missing))
+                .select("_w", "_df").collect()
+            )
+            found = {r["_w"]: int(r["_df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        eps_idf = self.epsilon * self.avg_idf
+        out: dict[str, float] = {}
+        for t in uniq:
+            df_t = self._df_cache.get(t)
+            if df_t is None:
+                out[t] = 0.0  # term not in corpus: BM25Okapi scores it 0
+            else:
+                raw = math.log(self.n_docs - df_t + 0.5) - math.log(df_t + 0.5)
+                out[t] = eps_idf if raw < 0 else raw
+        return out
+
+    def score(self, query: str, text_col: Column | str | None = None) -> Column:
+        """BM25 score Column for ``query`` against this corpus's stats.
+        ``text_col`` defaults to the column the stats were conceptually
+        fit on — pass it explicitly to score a different frame's column
+        (same tokenization). One ``F.aggregate`` fold tokenizes each
+        document exactly once (N separate tf-expressions would
+        re-tokenize per term — not CSE'd)."""
+        terms = _preprocess_query(query)
+        if not terms or self.n_docs == 0:
+            return F.lit(0.0)
+        uniq = list(dict.fromkeys(terms))
+        idf = self.term_idfs(terms)
+        k1, b, avgdl = self.k1, self.b, self.avgdl
+
+        toks = fts_tokens(text_col if text_col is not None else self._text_col)
+        zero = F.struct(
+            F.array_repeat(F.lit(0), len(uniq)).alias("c"), F.lit(0).alias("n")
+        )
+
+        def step(acc, t):
+            hits = F.array(*[(t == F.lit(u)).cast("int") for u in uniq])
+            return F.struct(
+                F.zip_with(acc["c"], hits, lambda a, h: a + h).alias("c"),
+                (acc["n"] + 1).alias("n"),
+            )
+
+        def finish(acc):
+            dl = acc["n"].cast("double")
+            len_norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl)))
+            s = F.lit(0.0)
+            for t in terms:  # query order, duplicates included (get_scores)
+                tf = acc["c"][uniq.index(t)].cast("double")
+                s = s + F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + len_norm)
+            return s
+
+        return F.aggregate(toks, zero, step, finish)
+
+
 def bm25_score(
     df,
     text_col: str,
@@ -136,6 +251,7 @@ def bm25_score(
     k1: float = 1.5,
     b: float = 0.75,
     epsilon: float = 0.25,
+    stats: Bm25Stats | None = None,
 ) -> Column:
     """Okapi BM25 relevance of ``text_col`` to ``query`` — exact semantics
     of the reference's scorer (sample.py:516-640 uses ``rank_bm25
@@ -151,71 +267,15 @@ def bm25_score(
     * no TF-IDF fallback: the reference only falls back when the
       ``rank_bm25`` dependency is missing; here BM25 is closed-form SQL
 
-    Execution contract: corpus statistics (N, avgdl, per-term df, vocab
-    average idf) cost TWO eager aggregate jobs at call time — a narrow
-    count/sum over token counts, then a word-count shuffle over distinct
-    per-doc tokens (classic map-side-combined wordcount; the only
-    collected values are ~|query| scalars). The returned Column then
-    scores each row in one pass: a single ``F.aggregate`` fold counts all
-    query terms at once and the ``finish`` lambda emits the final score,
-    so the document is tokenized exactly once per row (N separate
-    tf-expressions would re-tokenize per term — not CSE'd)."""
-    terms = _preprocess_query(query)
-    if not terms:
-        return F.lit(0.0)
-    uniq = list(dict.fromkeys(terms))
-
-    toks = fts_tokens(text_col)
-    # job 1: corpus size + average document length (narrow column scan)
-    r1 = df.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("tot")
-    ).collect()[0]
-    n_docs, total_len = int(r1["n"] or 0), int(r1["tot"] or 0)
-    if n_docs == 0:
-        return F.lit(0.0)
-    avgdl = (total_len / n_docs) or 1.0
-    # job 2: per-word document frequency -> query-term dfs + vocab avg idf
-    vocab = (
-        df.select(F.explode(F.array_distinct(toks)).alias("_w"))
-        .groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
-    )
-    idf_raw = F.log(F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5)) - F.log(F.col("_df") + F.lit(0.5))
-    r2 = vocab.agg(
-        F.avg(idf_raw).alias("avg_idf"),
-        *[F.max(F.when(F.col("_w") == t, F.col("_df"))).alias(f"df_{i}") for i, t in enumerate(uniq)],
-    ).collect()[0]
-    avg_idf = float(r2["avg_idf"] or 0.0)
-    eps_idf = epsilon * avg_idf
-    idf: dict[str, float] = {}
-    for i, t in enumerate(uniq):
-        df_t = r2[f"df_{i}"]
-        if df_t is None:
-            idf[t] = 0.0  # term not in corpus: BM25Okapi scores it 0
-        else:
-            raw = math.log(n_docs - int(df_t) + 0.5) - math.log(int(df_t) + 0.5)
-            idf[t] = eps_idf if raw < 0 else raw
-
-    zero = F.struct(
-        F.array_repeat(F.lit(0), len(uniq)).alias("c"), F.lit(0).alias("n")
-    )
-
-    def step(acc, t):
-        hits = F.array(*[(t == F.lit(u)).cast("int") for u in uniq])
-        return F.struct(
-            F.zip_with(acc["c"], hits, lambda a, h: a + h).alias("c"),
-            (acc["n"] + 1).alias("n"),
-        )
-
-    def finish(acc):
-        dl = acc["n"].cast("double")
-        len_norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl)))
-        s = F.lit(0.0)
-        for t in terms:  # query order, duplicates included (get_scores)
-            tf = acc["c"][uniq.index(t)].cast("double")
-            s = s + F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + len_norm)
-        return s
-
-    return F.aggregate(toks, zero, step, finish)
+    Execution contract: without ``stats``, corpus statistics cost eager
+    aggregate jobs at call time (fit — matching the reference's per-call
+    semantics). Pass a pre-fit ``Bm25Stats`` (or call ``Bm25Stats.fit``
+    once yourself) to amortize the corpus scans across many queries on a
+    stable corpus — the per-call cost then drops to one bounded vocab
+    lookup."""
+    if stats is None:
+        stats = Bm25Stats.fit(df, text_col, k1=k1, b=b, epsilon=epsilon)
+    return stats.score(query, text_col)
 
 
 def fts_score(text: Column, query: str) -> Column:

@@ -46,6 +46,15 @@ def sample(
     stddevs; keep inside/outside), ``top_embedding`` handled by ``topk``.
     Stratification: ``stratify_key`` + int/fraction or ``samples_per_group``.
     """
+    if samples is None and (
+        method == "first" or (method == "uniform" and samples_per_group is None)
+    ):
+        # fail early with a config error — falling through would reach
+        # int(None)/df.sample(fraction=None) and die with a bare TypeError
+        raise ValueError(
+            f"sample method={method!r} needs samples"
+            + (" or samples_per_group" if method == "uniform" else "")
+        )
     if isinstance(stratify_key, (list, tuple)) and not (method == "uniform" and samples_per_group):
         # composite strata (the doc-chunking macro's [split_id, extra])
         # are only defined for the per-group-quota path; the fraction and
@@ -146,6 +155,7 @@ def topk(
     # fts method
     text_col: str | None = None,
     query: str | None = None,
+    bm25_stats=None,  # pre-fit functions.text.Bm25Stats: fit once, score many
     name: str = "topk",
     tiebreak_cols: Sequence[str] | None = None,
     # llm_compare facade (topk.py:182-235): picker-refined rank head-k
@@ -185,7 +195,7 @@ def topk(
         elif base == "fts":
             from docetl_spark.functions.text import bm25_score
 
-            initial = bm25_score(df, text_col, query)
+            initial = bm25_score(df, text_col, query, stats=bm25_stats)
         elif base == "fts_simple":
             from docetl_spark.functions.text import fts_score
 
@@ -206,11 +216,12 @@ def topk(
         score = cosine_sim_col(embedding_col, list(query_vec))
     elif method == "fts":
         # Real BM25 with corpus IDF, exactly the reference's BM25Okapi
-        # scorer (sample.py:516-640) — costs two eager stats jobs at call
-        # time (see functions.text.bm25_score execution contract)
+        # scorer (sample.py:516-640) — eager stats jobs at call time
+        # unless a pre-fit ``bm25_stats`` is passed (fit once, score many;
+        # see functions.text.Bm25Stats)
         from docetl_spark.functions.text import bm25_score
 
-        score = bm25_score(df, text_col, query)
+        score = bm25_score(df, text_col, query, stats=bm25_stats)
     elif method == "fts_simple":
         # corpus-independent tf/log-length proxy (no stats jobs): for
         # per-group or streaming contexts where a corpus scan per call is

@@ -44,6 +44,7 @@ def split(
     delimiter: str = "\n\n",
     num_splits_to_group: int = 1,
     name: str = "split",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """One row per chunk; adds ``{split_key}_chunk``, ``{name}_id`` (stable
     per source document), ``{name}_chunk_num`` (1-based).
@@ -55,7 +56,13 @@ def split(
     upstream (unseeded sample, ``F.rand`` filter) can disagree between the
     probe and the anti/semi passes and drop or duplicate chunks. Checkpoint
     (``df.localCheckpoint()``) non-deterministic or expensive upstreams
-    before calling ``split``."""
+    before calling ``split``.
+
+    ``assume_distinct=True`` skips the probe entirely: no eager job, one
+    single-pass lazy plan — for hot pipelines whose rows are KNOWN
+    distinct (e.g. carrying a unique id). The caller owns the claim: with
+    exact-duplicate rows present, duplicate ``({name}_id, chunk_num)``
+    pairs reach downstream and gather would interleave them."""
     # Chunking is pure Column expressions (split/regexp_extract_all +
     # sequence + slice/array_join): stays in codegen, no Python per row.
     # The _token_chunks/_delim_chunks python forms above are the executable
@@ -95,6 +102,19 @@ def split(
 
     base_json = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     with_h = df.withColumn("_h", F.xxhash64(*[F.col(c) for c in df.columns]))
+    if assume_distinct:
+        out = (
+            df.withColumn(f"{name}_id", F.sha2(base_json, 256))
+            .withColumn("_chunks", chunk_expr)
+            .select(
+                *[c for c in df.columns],
+                f"{name}_id",
+                F.posexplode("_chunks").alias("_pos", f"{split_key}_chunk"),
+            )
+            .withColumn(f"{name}_chunk_num", (F.col("_pos") + 1).cast("int"))
+            .drop("_pos")
+        )
+        return out
     dup_keys = (
         with_h.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).filter(F.col("_c") > 1).select("_h")
     )

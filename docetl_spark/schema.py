@@ -102,14 +102,15 @@ def parse_output_schema(schema: dict[str, str]) -> T.StructType:
 # Type-widening lattice for in-flight schema evolution (north rule).
 # Legal promotions follow Iceberg's rules: int->long, int/long->double,
 # float->double. Everything else must match exactly.
+#
+# The numeric lattice is a DIAMOND, not a chain: int < long < double and
+# float < double, with long and float INCOMPARABLE (long->float truncates
+# above 2^24; float->long drops fractions) — their least upper bound is
+# double. A totally-ordered rank table would silently "widen" long->float.
 # ---------------------------------------------------------------------------
 
-_WIDEN_ORDER = {
-    "integer": 0,
-    "long": 1,
-    "float": 2,
-    "double": 3,
-}
+_WIDEN_CHAIN = {"integer": 0, "long": 1, "double": 2}
+_NUMERIC = {"integer", "long", "float", "double"}
 
 
 def widen(a: T.DataType, b: T.DataType) -> T.DataType:
@@ -122,8 +123,13 @@ def widen(a: T.DataType, b: T.DataType) -> T.DataType:
     if a == b:
         return a
     an, bn = a.typeName(), b.typeName()
-    if an in _WIDEN_ORDER and bn in _WIDEN_ORDER:
-        return a if _WIDEN_ORDER[an] >= _WIDEN_ORDER[bn] else b
+    if an in _NUMERIC and bn in _NUMERIC:
+        if "float" in (an, bn):
+            other = bn if an == "float" else an
+            # float vs double -> double; float vs int/long -> double (the
+            # diamond LUB — neither side can represent the other exactly)
+            return T.DoubleType() if other != "float" else T.FloatType()
+        return a if _WIDEN_CHAIN[an] >= _WIDEN_CHAIN[bn] else b
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
         return T.ArrayType(widen(a.elementType, b.elementType), True)
     if isinstance(a, T.StructType) and isinstance(b, T.StructType):

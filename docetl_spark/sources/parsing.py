@@ -298,7 +298,10 @@ def xlsx_to_string(
             for el in wb.iter():
                 if _local(el.tag) != "sheet":
                     continue
-                rid = next((v for k, v in el.attrib.items() if _local(k) == "id"), None)
+                # relationship ids are NAMESPACED (r:id); an element can
+                # also carry a bare id= attribute (sldId does in pptx), so
+                # require a namespaced key — same guard as the pptx path
+                rid = next((v for k, v in el.attrib.items() if "}" in k and _local(k) == "id"), None)
                 target = rid_to_target.get(rid)
                 if target:
                     sheet_members.append("xl/" + target.lstrip("/") if not target.startswith("xl/") else target)

@@ -195,6 +195,56 @@ def test_bm25_matches_okapi_golden(spark):
     assert df.withColumn("s", bm25_score(df, "text", "!!!")).agg(F.sum("s")).collect()[0][0] == 0.0
 
 
+def test_bm25_stats_fit_once_score_many(spark, tmp_path):
+    """Bm25Stats amortizes the corpus scans: after fit, scoring never
+    touches the corpus again. Proof is behavioral, not job-counting
+    alone — the fitted corpus files are DELETED before scoring, so any
+    re-scan would throw, and the scores still match a fresh fit's."""
+    import shutil
+
+    from docetl_spark.functions.text import Bm25Stats, bm25_score
+
+    texts = [
+        "Spark shuffle common!", "spark spark spark common",
+        "common words only here", "shuffle common again",
+        "nothing relevant", "spark common",
+    ]
+    query = "spark spark shuffle ghost"
+    mem = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    fresh = [r["s"] for r in mem.withColumn("s", bm25_score(mem, "text", query)).orderBy("id").collect()]
+
+    p = str(tmp_path / "corpus.parquet")
+    mem.write.parquet(p)
+    disk = spark.read.parquet(p)
+    stats = Bm25Stats.fit(disk, "text")
+    shutil.rmtree(p)  # corpus gone: any later corpus re-scan would throw
+
+    got = [r["s"] for r in mem.withColumn("s", stats.score(query, "text")).orderBy("id").collect()]
+    assert got == pytest.approx(fresh, abs=1e-12)
+
+    # second call with the SAME terms runs ZERO jobs to build the column
+    # (term idfs cached on the instance); an unseen term costs exactly one
+    # bounded vocab-lookup job
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("bm25_cached", "cached-term score build")
+    stats.score(query, "text")
+    assert len(tracker.getJobIdsForGroup("bm25_cached")) == 0
+    sc.setJobGroup("bm25_new_term", "unseen-term lookup")
+    stats.score("words nothing", "text")
+    assert len(tracker.getJobIdsForGroup("bm25_new_term")) == 1
+    sc.setJobGroup(None, None)
+
+    # topk(fts) accepts the pre-fit stats and ranks identically
+    from docetl_spark.operators import topk
+
+    a = topk(mem, 3, method="fts", text_col="text", query=query, tiebreak_cols=["id"], name="t")
+    b = topk(mem, 3, method="fts", text_col="text", query=query, tiebreak_cols=["id"], name="t",
+             bm25_stats=stats)
+    assert [tuple(r) for r in a.select("id", "_t_rank").collect()] == \
+        [tuple(r) for r in b.select("id", "_t_rank").collect()]
+
+
 def test_multimodal_stub_and_plumbing(spark):
     data = [
         Row(id=1, blob=bytes([1, 2, 3, 4]), meta=Row(media_type="image", format="fake",

@@ -164,6 +164,38 @@ def test_split_token_and_delimiter_roundtrip(spark):
     assert [r["body_chunk"] for r in out2.orderBy("split_chunk_num").collect()] == ["a\n\nb", "c\n\nd"]
 
 
+def test_split_assume_distinct_single_pass(spark):
+    """assume_distinct=True skips the duplicate probe: building the plan
+    runs ZERO eager jobs, and on distinct input the output (ids included)
+    is byte-identical to the default salted path's."""
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(25))) for i in range(6)],
+        "id long, body string",
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("split_nd", "assume_distinct plan build")
+    fast = split(df, "body", method="token_count", num_tokens=10, name="sp",
+                 assume_distinct=True)
+    assert len(tracker.getJobIdsForGroup("split_nd")) == 0  # fully lazy
+    sc.setJobGroup(None, None)
+    slow = split(df, "body", method="token_count", num_tokens=10, name="sp")
+    key = ["id", "sp_id", "sp_chunk_num", "body_chunk"]
+    assert sorted(tuple(r) for r in fast.select(*key).collect()) == \
+        sorted(tuple(r) for r in slow.select(*key).collect())
+
+
+def test_sample_missing_samples_config_error(spark):
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    with pytest.raises(ValueError, match="needs samples"):
+        sample(df, method="uniform")
+    with pytest.raises(ValueError, match="needs samples"):
+        sample(df, method="first")
+    # samples_per_group alone is a valid uniform config
+    assert sample(df.withColumn("g", F.col("id") % 2), method="uniform",
+                  stratify_key="g", samples_per_group=1).count() == 2
+
+
 def test_gather_renders_context(spark):
     df = spark.createDataFrame(
         [("d", i, f"chunk{i}") for i in range(4)], "doc string, num long, body string"

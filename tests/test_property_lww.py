@@ -193,7 +193,7 @@ def test_coalesced_replay_any_grouping_matches_oracle(
 @given(
     events=st.lists(event_st, min_size=1, max_size=40),
     n_batches=st.integers(min_value=2, max_value=4),
-    x_types=st.lists(st.sampled_from(["int", "long", "double"]), min_size=4, max_size=4),
+    x_types=st.lists(st.sampled_from(["int", "long", "float", "double"]), min_size=4, max_size=4),
     extra_mask=st.lists(st.booleans(), min_size=4, max_size=4),
     mode=st.sampled_from(["cow", "mor"]),
 )
@@ -219,7 +219,16 @@ def test_in_flight_schema_evolution_any_stream(
         table = create_cdc_table(root + "/t", KEYS, num_buckets=4)
         for b in batches:
             t = x_types[b]
-            xval = (lambda p: p + 0.5) if t == "double" else (lambda p: p)
+            # float batches pin the FLOAT->DOUBLE metadata-only evolution
+            # (probed OK on this Spark build's vectorized reader — top-level
+            # and nested — unlike long->double, which needs the rewrite);
+            # payloads 0-99 are exact in float32 so values stay comparable
+            if t == "double":
+                xval = lambda p: p + 0.5
+            elif t == "float":
+                xval = lambda p: float(p)
+            else:
+                xval = lambda p: p
             brows = [
                 ((lsn, op, r_, p_, c_, xval(payload), payload * 10)
                  if extra_mask[b] else (lsn, op, r_, p_, c_, xval(payload)))

@@ -52,6 +52,18 @@ def test_widen_lattice():
         widen(T.StringType(), T.LongType())
 
 
+def test_widen_float_diamond():
+    """long and float are INCOMPARABLE (long->float truncates >2^24,
+    float->long drops fractions): their LUB is double, never float. A
+    totally-ordered rank table gets this wrong silently."""
+    assert widen(T.FloatType(), T.DoubleType()) == T.DoubleType()
+    assert widen(T.DoubleType(), T.FloatType()) == T.DoubleType()
+    assert widen(T.LongType(), T.FloatType()) == T.DoubleType()
+    assert widen(T.FloatType(), T.LongType()) == T.DoubleType()
+    assert widen(T.IntegerType(), T.FloatType()) == T.DoubleType()
+    assert widen(T.FloatType(), T.FloatType()) == T.FloatType()
+
+
 def test_merge_schemas_additive_and_widening():
     cur = T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())])
     inc = T.StructType([T.StructField("a", T.LongType()), T.StructField("c", T.BooleanType())])
