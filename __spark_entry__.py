@@ -67,6 +67,31 @@ def q_cdc_merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_merge_lww_ungrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch (ungrouped) replay of the same change stream — the
+    r1-r3 board configuration, kept so round-over-round replay timings
+    stay like-for-like while the headline ``cdc_merge_lww`` runs the
+    documented ``coalesce_batches=4`` production knob (ADVICE r4: don't
+    conflate engine and configuration changes across rounds). LWW is
+    associative across batches, so both commit granularities are checked
+    against the SAME oracle."""
+    from docetl_spark.cdc import create_cdc_table, read_state, replay_events
+
+    events = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="cdc_lww_ug_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["user_id"], num_buckets=16)
+    replay_events(spark, table, _events_as_changes(events))
+    state = read_state(spark, table)
+    return state.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 2).alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 ORACLE_CDC = """
 SELECT CAST(user_id AS BIGINT) AS user_id,
        event_id AS last_lsn,
@@ -570,6 +595,168 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
        CAST(sum((length(rendered) - length(replace(rendered, 'data', ''))) // 4) AS BIGINT) AS total_hits,
        CAST(sum(length(rendered)) AS BIGINT) AS total_rc
 FROM rendered GROUP BY doc_id
+"""
+
+
+def q_doc_chunking_topk_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_chunking_topk macro (reference reasoning_optimizer/directives/
+    doc_chunking_topk.py:448-585 ``DocumentChunkingTopKDirective.apply``):
+    a Filter over long documents rewrites to
+    ``split -> topk(BM25, stratified on the split doc id) -> reduce ->
+    code_filter`` — the retrieval-flavored chunking pipeline, executed
+    end-to-end through the composed plan. The oracle recomputes the whole
+    composition: 40-token chunks, corpus BM25 over ALL chunks (idf with
+    the epsilon floor), per-document top-3 rank with the chunk_num
+    tiebreak, per-document aggregation, and the boolean filter."""
+    from docetl_spark.plans.macros import expand_macros
+    from docetl_spark.plans.pipeline import _apply_op
+
+    docs = _t(spark, sf_dir, "documents")
+    ops_list = expand_macros([{
+        "op": "chunked_topk", "name": "kwt",
+        "split_key": "text", "method": "delimiter",
+        "delimiter": " ", "num_splits_to_group": 40,
+        "topk_config": {
+            # 'dup' is the one RARE token in the synthetic vocab (positive
+            # idf); 'spark' is in most chunks (negative raw idf -> the
+            # epsilon floor, which is itself NEGATIVE on this shared-vocab
+            # chunk corpus — faithful BM25Okapi behavior, exercised here)
+            "method": "fts", "k": 3, "query": "dup spark",
+            "tiebreak_cols": ["doc_id", "split_kwt_chunk_num"],
+        },
+        "reduce_aggs": {
+            "doc_id": "max(doc_id)",
+            "n_kept": "count(*)",
+            "best_score": "round(max(_topk_kwt_chunks_score), 6)",
+            "best_chunk": "max(CASE WHEN _topk_kwt_chunks_rank = 1 THEN split_kwt_chunk_num END)",
+        },
+        "is_filter": True, "bool_expr": "best_score > 0",
+    }])
+    df = docs
+    for cfg in ops_list:
+        df = _apply_op(df, cfg, {}, spark)
+    return df.select("doc_id", "n_kept", "best_score", "best_chunk")
+
+
+# chunk corpus = the split of every document; BM25 stats (N, avgdl, df,
+# eps-floored idf) over chunks exactly as ORACLE_TOPK_FTS does over docs;
+# per-doc top-3 by (score desc, chunk_num), then the reduce + bool filter
+ORACLE_DOC_CHUNKING_TOPK = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(gs AS INT) AS chunk_num,
+         array_to_string(toks[(gs-1)*40+1 : gs*40], ' ') AS chunk
+  FROM (SELECT doc_id, toks, unnest(range(1, CAST(ceil(len(toks)/40.0) AS BIGINT)+1)) AS gs FROM t)
+),
+ctok AS (
+  SELECT doc_id, chunk_num,
+         list_filter(string_split_regex(trim(regexp_replace(lower(chunk), '[^a-z0-9\\s]', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+  FROM chunks
+),
+corp AS (SELECT count(*) AS n, sum(len(toks)) AS tot FROM ctok),
+vocab AS (
+  SELECT w, count(*) AS dfw
+  FROM (SELECT DISTINCT doc_id, chunk_num, unnest(toks) AS w FROM ctok) GROUP BY w
+),
+idfs AS (
+  SELECT w, ln((SELECT n FROM corp) - dfw + 0.5) - ln(dfw + 0.5) AS idf FROM vocab
+),
+aidf AS (SELECT avg(idf) AS avg_idf FROM idfs),
+qidf AS (
+  SELECT w, CASE WHEN idf < 0 THEN 0.25 * (SELECT avg_idf FROM aidf) ELSE idf END AS idf
+  FROM idfs WHERE w IN ('dup', 'spark')
+),
+scored AS (
+  SELECT doc_id, chunk_num, coalesce(sum(
+           idf * tf * 2.5 / (tf + 1.5 * (1 - 0.75 + 0.75 * dl / ((SELECT tot FROM corp)::DOUBLE / (SELECT n FROM corp))))
+         ), 0.0) AS raw
+  FROM (
+    SELECT c.doc_id, c.chunk_num, len(c.toks)::DOUBLE AS dl, q.idf,
+           len(list_filter(c.toks, x -> x = q.w))::DOUBLE AS tf
+    FROM ctok c CROSS JOIN qidf q
+  ) GROUP BY doc_id, chunk_num
+),
+ranked AS (
+  SELECT doc_id, chunk_num, raw,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, chunk_num) AS rk
+  FROM scored
+)
+SELECT doc_id, count(*) AS n_kept,
+       round(max(raw), 6) AS best_score,
+       max(CASE WHEN rk = 1 THEN chunk_num END) AS best_chunk
+FROM ranked WHERE rk <= 3
+GROUP BY doc_id
+HAVING round(max(raw), 6) > 0
+"""
+
+
+def q_cascade_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cascade_filter macro (reference reasoning_optimizer/directives/
+    cascade_filtering.py:347-390 ``CascadeFilteringDirective.apply``):
+    the expensive filter is preceded by a code pre-filter and two cheap
+    pre-filters sorted by predicate length; the final state is IDENTICAL
+    to the uncascaded filter by the recall contract — which is exactly
+    what the oracle checks (plain WHERE of the final conjunction). The
+    per-stage observed-selectivity audit is pytest-verified
+    (test_cascade_filter_identical_state_and_selectivity)."""
+    from docetl_spark.plans.macros import expand_macros
+    from docetl_spark.plans.pipeline import _apply_op
+
+    docs = _t(spark, sf_dir, "documents")
+    ops_list = expand_macros([{
+        "op": "cascade_filter", "name": "keep_en_data",
+        "where": "n_chars >= 400 AND lang = 'en' AND contains(text, 'data')",
+        "code_pre_filters": [{"name": "len_gate", "where": "n_chars >= 400"}],
+        "llm_pre_filters": [
+            {"name": "mentions_data", "where": "contains(text, 'data')"},
+            {"name": "is_en", "where": "lang = 'en'"},
+        ],
+    }])
+    df = docs
+    for cfg in ops_list:
+        df = _apply_op(df, cfg, {}, spark)
+    return df.select("doc_id", "lang", "n_chars")
+
+
+ORACLE_CASCADE_FILTER = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars >= 400 AND lang = 'en' AND contains(text, 'data')
+"""
+
+
+def q_hierarchical_reduce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hierarchical_reduce macro (reference reasoning_optimizer/
+    directives/hierarchical_reduce.py:224-289
+    ``HierarchicalReduceDirective.apply``): Reduce(user) rewrites to
+    Reduce(user, event_type) -> Reduce(user) — the two-level rollup. The
+    oracle nests the same two GROUP BYs."""
+    from docetl_spark.plans.macros import expand_macros
+    from docetl_spark.plans.pipeline import _apply_op
+
+    events = _t(spark, sf_dir, "events")
+    ops_list = expand_macros([{
+        "op": "hierarchical_reduce", "name": "events_by_user",
+        "reduce_key": "user_id", "additional_key": "event_type",
+        "aggs_fine": {"n": "count(*)", "v": "sum(value)"},
+        "aggs_rollup": {
+            "n_events": "sum(n)", "n_types": "count(*)",
+            "total_v": "round(sum(v), 2)", "max_type_n": "max(n)",
+        },
+    }])
+    df = events
+    for cfg in ops_list:
+        df = _apply_op(df, cfg, {}, spark)
+    return df.select("user_id", "n_events", "n_types", "total_v", "max_type_n")
+
+
+ORACLE_HIER_REDUCE = """
+WITH fine AS (
+  SELECT user_id, event_type, count(*) AS n, sum(value) AS v
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, sum(n) AS n_events, count(*) AS n_types,
+       round(sum(v), 2) AS total_v, max(n) AS max_type_n
+FROM fine GROUP BY user_id
 """
 
 
@@ -1756,6 +1943,7 @@ def q_cdc_stream_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merge_lww": q_cdc_merge_lww,
+        "cdc_merge_lww_ungrouped": q_cdc_merge_lww_ungrouped,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1773,6 +1961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_chunks": q_split_chunks,
         "gather_rendered": q_gather_rendered,
         "doc_chunking_macro": q_doc_chunking_macro,
+        "doc_chunking_topk_macro": q_doc_chunking_topk_macro,
+        "cascade_filter_docs": q_cascade_filter_docs,
+        "hierarchical_reduce_events": q_hierarchical_reduce_events,
         "gather_hierarchy_docs": q_gather_hierarchy_docs,
         "unnest_doc_tokens": q_unnest_doc_tokens,
         "extract_regex_docs": q_extract_regex_docs,
@@ -1811,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_merge_lww": ORACLE_CDC,
+        "cdc_merge_lww_ungrouped": ORACLE_CDC,
         "tpch_q1": ORACLE_Q1,
         "tpch_q3_top10": ORACLE_Q3,
         "revenue_by_nation": ORACLE_NATION,
@@ -1828,6 +2020,9 @@ def oracle_sql() -> dict[str, str]:
         "split_chunks": ORACLE_SPLIT,
         "gather_rendered": ORACLE_GATHER,
         "doc_chunking_macro": ORACLE_DOC_CHUNKING,
+        "doc_chunking_topk_macro": ORACLE_DOC_CHUNKING_TOPK,
+        "cascade_filter_docs": ORACLE_CASCADE_FILTER,
+        "hierarchical_reduce_events": ORACLE_HIER_REDUCE,
         "gather_hierarchy_docs": ORACLE_GATHER_HIER,
         "unnest_doc_tokens": ORACLE_UNNEST,
         "extract_regex_docs": ORACLE_EXTRACT,

@@ -34,6 +34,9 @@ import pandas as pd  # module-level so pandas-UDF type hints resolve
 
 HEADLINE = [
     "cdc_merge_lww",
+    # ungrouped (per-batch) replay variant: like-for-like with the r1-r3
+    # boards, while cdc_merge_lww carries the coalesce_batches=4 knob
+    "cdc_merge_lww_ungrouped",
     "tpch_q1",
     "tpch_q3_top10",
     "revenue_by_nation",
@@ -70,6 +73,10 @@ HEADLINE = [
     # round-4 surface
     "doc_chunking_macro",
     "knn_ivf_top5",
+    # round-5 surface (docetl build macro set)
+    "doc_chunking_topk_macro",
+    "cascade_filter_docs",
+    "hierarchical_reduce_events",
     # (incremental_dedup_docs / _embedding stay off the board like every
     # multi-commit ingest pipeline: ~15s each at sf0.1, 3 fenced ingests
     # per run — correctness-gated via the oracle, not timed per round)

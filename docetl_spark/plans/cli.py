@@ -2,9 +2,12 @@
 ``python -m docetl_spark.plans.cli run pipeline.yaml [--intermediate-dir D]``.
 The reference analogues are ``docetl run pipeline.yaml`` (docetl/cli.py:202)
 and ``docetl build pipeline.yaml`` (docetl/cli.py:73) — ``build`` here is
-the DETERMINISTIC rewrite pass: it expands every ``chunked_map`` macro
-into its split -> gather -> [sample] -> map -> reduce sequence
-(plans/macros.py) and writes the optimized YAML, no LLM plan search.
+the DETERMINISTIC rewrite pass: it expands every macro op — ``chunked_map``
+(split -> gather -> [sample] -> map -> reduce), ``chunked_topk``
+(split -> topk -> reduce [-> code_filter]), ``cascade_filter``
+(pre-filters -> filter), ``hierarchical_reduce`` ([map ->] fine reduce ->
+rollup reduce) — into its composed sequence (plans/macros.py) and writes
+the optimized YAML, no LLM plan search.
 
 A bare ``cli.py pipeline.yaml`` (no verb) still runs — the pre-r4 form.
 """
@@ -20,16 +23,16 @@ from docetl_spark.plans.pipeline import run_pipeline
 def _build(pipeline_path: str, output_path: str | None) -> None:
     import yaml
 
-    from docetl_spark.plans.macros import rewrite_chunked_maps
+    from docetl_spark.plans.macros import _MACRO_FNS, expand_macros
 
     with open(pipeline_path) as f:
         cfg = yaml.safe_load(f)
     n_rewritten = 0
     for step in cfg.get("steps", []):
         ops = step.get("operations", [])
-        if any(op.get("op") == "chunked_map" for op in ops):
-            n_rewritten += sum(1 for op in ops if op.get("op") == "chunked_map")
-            step["operations"] = rewrite_chunked_maps(ops)
+        if any(op.get("op") in _MACRO_FNS for op in ops):
+            n_rewritten += sum(1 for op in ops if op.get("op") in _MACRO_FNS)
+            step["operations"] = expand_macros(ops)
     if output_path:
         out = output_path
     else:
@@ -40,7 +43,7 @@ def _build(pipeline_path: str, output_path: str | None) -> None:
         raise SystemExit(f"build: refusing to overwrite the input pipeline {pipeline_path!r}; pass -o")
     with open(out, "w") as f:
         yaml.safe_dump(cfg, f, sort_keys=False)
-    print(f"build complete: {n_rewritten} chunked_map op(s) expanded -> {out}")
+    print(f"build complete: {n_rewritten} macro op(s) expanded -> {out}")
 
 
 def main() -> None:

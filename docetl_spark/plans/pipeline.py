@@ -70,7 +70,8 @@ def _load_callable(dotted: str):
     return getattr(importlib.import_module(mod), attr)
 
 
-def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> DataFrame:
+def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession,
+              observations: dict | None = None) -> DataFrame:
     """One operator application. op names mirror the reference inventory
     (docetl/operations/__init__.py:20-41); deterministic configs only."""
     from docetl_spark import operators as ops
@@ -84,7 +85,22 @@ def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> 
             out = out.drop(*cfg["drop_keys"])
         return out
     if op == "filter":  # code_filter with a SQL predicate
-        return df.filter(F.expr(cfg["where"]))
+        pred = F.expr(cfg["where"])
+        if cfg.get("observe") and observations is not None:
+            # observed per-stage selectivity (reference containers.py:
+            # 543-545 records out/in per op): an Observation rides the
+            # plan for free — no extra job, metrics land with the next
+            # action. This is the audit trail for cascade_filter ordering.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observations[cfg.get("name", f"filter_{len(observations)}")] = obs
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_in"),
+                F.sum(pred.cast("long")).alias("rows_kept"),
+            )
+        return df.filter(pred)
     if op == "add_uuid":
         return ops.add_uuid(df, id_key=cfg.get("id_key", f"{cfg.get('name', 'op')}_id"))
     if op == "unnest":
@@ -118,6 +134,7 @@ def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession) -> 
             direction=cfg.get("direction", "desc"),
             text_col=cfg.get("text_col"), query=cfg.get("query"),
             stratify_key=cfg.get("stratify_key"), name=cfg.get("name", "topk"),
+            tiebreak_cols=cfg.get("tiebreak_cols"),
             # llm_compare facade: YAML configs name a registered picker by
             # dotted path (deterministic stand-in for the LLM comparator)
             picker=_load_callable(cfg["picker"]) if "picker" in cfg else None,
@@ -212,6 +229,22 @@ class Pipeline:
     observe: bool = False  # record per-step row counts (selectivity)
     _step_outputs: dict = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
+    # op-level Observations (cascade_filter selectivity audit): name ->
+    # pyspark Observation; read .get AFTER an action has run the plan
+    observations: dict = field(default_factory=dict)
+
+    def observed_selectivity(self) -> dict:
+        """{op name: {rows_in, rows_kept, selectivity}} for every observed
+        op whose metrics have landed (requires a completed action)."""
+        out = {}
+        for name, obs in self.observations.items():
+            m = obs.get
+            if m and m.get("rows_in"):
+                out[name] = {
+                    "rows_in": m["rows_in"], "rows_kept": m["rows_kept"] or 0,
+                    "selectivity": round((m["rows_kept"] or 0) / m["rows_in"], 6),
+                }
+        return out
 
     @classmethod
     def from_yaml(cls, path: str, intermediate_dir: str | None = None) -> "Pipeline":
@@ -257,10 +290,10 @@ class Pipeline:
                 df = last
             else:
                 raise ValueError(f"step {name!r}: unknown input {src!r}")
-            from docetl_spark.plans.macros import rewrite_chunked_maps
+            from docetl_spark.plans.macros import expand_macros
 
-            for op_cfg in rewrite_chunked_maps(step.get("operations", [])):
-                df = _apply_op(df, op_cfg, datasets, spark)
+            for op_cfg in expand_macros(step.get("operations", [])):
+                df = _apply_op(df, op_cfg, datasets, spark, observations=self.observations)
             if ckpt:
                 df.write.mode("overwrite").parquet(ckpt)
                 df = spark.read.parquet(ckpt)

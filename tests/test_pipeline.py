@@ -244,7 +244,7 @@ def test_cli_build_and_run(spark, tmp_path, monkeypatch):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert res.returncode == 0, res.stderr
-    assert "1 chunked_map op(s) expanded" in res.stdout
+    assert "1 macro op(s) expanded" in res.stdout
     with open(out_yaml) as f:
         opt = yaml.safe_load(f)
     ops = opt["steps"][0]["operations"]
@@ -282,3 +282,143 @@ def test_cli_build_yml_suffix_and_inplace_guard(tmp_path):
     )
     assert res2.returncode != 0
     assert "refusing to overwrite" in (res2.stderr + res2.stdout)
+
+
+def test_chunked_topk_macro_expansion_and_run(spark, tmp_path):
+    """doc_chunking_topk macro (reference doc_chunking_topk.py:448-585):
+    Map => split -> topk -> reduce with the reference's naming and the
+    topk stratified on the split doc id; the filter flavor appends
+    code_filter_{target}. Runs end-to-end: every doc keeps at most k
+    chunks and the per-doc best score matches a direct recomputation."""
+    from pyspark.sql import functions as F
+
+    from docetl_spark.plans.macros import expand_macros
+
+    macro = {
+        "op": "chunked_topk", "name": "liab",
+        "split_key": "text", "method": "delimiter",
+        "delimiter": " ", "num_splits_to_group": 30,
+        "topk_config": {"method": "fts", "k": 2, "query": "data quality",
+                        "tiebreak_cols": ["doc_id", "split_liab_chunk_num"]},
+        "reduce_aggs": {"doc_id": "max(doc_id)",
+                        "n_kept": "count(*)",
+                        "best_score": "round(max(_topk_liab_chunks_score), 6)"},
+    }
+    ops = expand_macros([macro])
+    assert [o["op"] for o in ops] == ["split", "topk", "reduce"]
+    assert ops[0]["name"] == "split_liab"
+    assert ops[1]["name"] == "topk_liab_chunks"
+    assert ops[1]["stratify_key"] == "split_liab_id"
+    assert ops[2]["reduce_key"] == "split_liab_id"
+
+    # filter flavor appends the boolean code_filter (reference :563-578)
+    fops = expand_macros([{**macro, "is_filter": True, "bool_expr": "best_score > 0"}])
+    assert [o["op"] for o in fops] == ["split", "topk", "reduce", "filter"]
+    assert fops[3]["name"] == "code_filter_liab"
+
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [{"name": "s1", "input": "docs", "operations": [
+            {"op": "filter", "where": "doc_id < 30"}, macro]}],
+    }
+    out = Pipeline.from_yaml(_write(tmp_path, cfg)).run(spark)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 30
+    assert all(1 <= r["n_kept"] <= 2 for r in rows.values())
+
+
+def test_cascade_filter_identical_state_and_selectivity(spark, tmp_path):
+    """cascade_filter macro (reference cascade_filtering.py:347-390):
+    code pre-filters first, llm pre-filters SORTED BY PREDICATE LENGTH,
+    then the original filter — final state identical to the uncascaded
+    filter, with per-stage observed selectivity recorded for the audit."""
+    from docetl_spark.plans.macros import cascade_filtering, expand_macros
+
+    ops = cascade_filtering(
+        "keep_en_data",
+        where="n_chars >= 400 AND lang = 'en' AND contains(text, 'data')",
+        code_pre_filters=[{"name": "len_gate", "where": "n_chars >= 400"}],
+        llm_pre_filters=[
+            {"name": "mentions_data", "where": "contains(text, 'data')"},
+            {"name": "is_en", "where": "lang = 'en'"},
+        ],
+    )
+    # llm filters re-ordered shortest predicate first (:368-371)
+    assert [o["name"] for o in ops] == [
+        "len_gate_keep_en_data", "is_en_keep_en_data",
+        "mentions_data_keep_en_data", "keep_en_data"]
+    assert all(o["observe"] for o in ops)
+
+    macro_cfg = {
+        "op": "cascade_filter", "name": "keep_en_data",
+        "where": "n_chars >= 400 AND lang = 'en' AND contains(text, 'data')",
+        "code_pre_filters": [{"name": "len_gate", "where": "n_chars >= 400"}],
+        "llm_pre_filters": [
+            {"name": "mentions_data", "where": "contains(text, 'data')"},
+            {"name": "is_en", "where": "lang = 'en'"}],
+    }
+    assert [o["name"] for o in expand_macros([macro_cfg])] == [o["name"] for o in ops]
+
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [{"name": "s1", "input": "docs", "operations": [macro_cfg]}],
+    }
+    p = Pipeline.from_yaml(_write(tmp_path, cfg))
+    got = sorted(r["doc_id"] for r in p.run(spark).select("doc_id").collect())
+    want = sorted(
+        r["doc_id"] for r in spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .filter("n_chars >= 400 AND lang = 'en' AND contains(text, 'data')")
+        .select("doc_id").collect()
+    )
+    assert got == want  # cascade changes cost, never the final state
+
+    sel = p.observed_selectivity()
+    names = [o["name"] for o in ops]
+    assert set(names) <= set(sel)
+    # each stage sees at most what the previous one kept
+    for a, b in zip(names, names[1:]):
+        assert sel[b]["rows_in"] == sel[a]["rows_kept"]
+    # the final (expensive) filter ran on a strict subset of the input
+    assert sel[names[-1]]["rows_in"] < sel[names[0]]["rows_in"]
+
+
+def test_hierarchical_reduce_macro(spark, tmp_path):
+    """hierarchical_reduce macro (reference hierarchical_reduce.py:
+    224-289): Reduce => [Map ->] Reduce(k1+k2) -> Reduce(k1). Algebraic
+    rollup totals must equal the direct one-level reduce."""
+    from docetl_spark.plans.macros import expand_macros, hierarchical_reduce
+
+    ops = hierarchical_reduce(
+        "events_by_user",
+        reduce_key="user_id", additional_key="event_type",
+        aggs_fine={"n": "count(*)", "v": "round(sum(value), 4)"},
+        aggs_rollup={"n_events": "sum(n)", "n_types": "count(*)",
+                     "best_type_v": "round(max(v), 4)"},
+        map_expr={"event_type": "upper(event_type)"},
+    )
+    assert [o["op"] for o in ops] == ["map", "reduce", "reduce"]
+    assert ops[1]["name"] == "events_by_user_by_event_type"
+    assert ops[1]["reduce_key"] == ["user_id", "event_type"]
+    assert ops[2]["reduce_key"] == "user_id"
+
+    macro_cfg = {
+        "op": "hierarchical_reduce", "name": "events_by_user",
+        "reduce_key": "user_id", "additional_key": "event_type",
+        "aggs_fine": {"n": "count(*)", "v": "round(sum(value), 4)"},
+        "aggs_rollup": {"n_events": "sum(n)", "n_types": "count(*)",
+                        "best_type_v": "round(max(v), 4)"},
+    }
+    assert [o["op"] for o in expand_macros([macro_cfg])] == ["reduce", "reduce"]
+
+    cfg = {
+        "datasets": {"events": {"path": os.path.join(SF_DIR, "events.parquet")}},
+        "steps": [{"name": "s1", "input": "events", "operations": [macro_cfg]}],
+    }
+    out = Pipeline.from_yaml(_write(tmp_path, cfg)).run(spark)
+    got = {r["user_id"]: r["n_events"] for r in out.collect()}
+    want = {
+        r["user_id"]: r["n"] for r in
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
