@@ -57,8 +57,8 @@ SIG_COL = "_sig"
 IDX_SUBDIR = "bandidx"
 
 
-def band_index_path(table: LakeTable) -> str:
-    return os.path.join(table.path, IDX_SUBDIR)
+def band_index_path(table: LakeTable, subdir: str = IDX_SUBDIR) -> str:
+    return os.path.join(table.path, subdir)
 
 
 def _ensure_band_index(
@@ -68,6 +68,7 @@ def _ensure_band_index(
     id_field,
     band_expr_fn,
     params: dict[str, str],
+    subdir: str = IDX_SUBDIR,
 ) -> LakeTable:
     """Open (or lazily create + backfill) the corpus's banded index.
 
@@ -106,7 +107,7 @@ def _ensure_band_index(
         )
         merge_apply(spark, idx_table, changes, batch_id=corpus_fence, mode="mor")
 
-    idx = LakeTable(band_index_path(table))
+    idx = LakeTable(band_index_path(table, subdir))
     if idx.exists():
         iprops = idx.snapshot().properties
         got = {k: iprops.get(k) for k in params}

@@ -1,0 +1,109 @@
+"""Persistent IVF ANN index (functions/ann_index.py): training pin,
+fenced exactly-once ingest, bucket-pruned stored search, index rebuild."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from docetl_spark.cdc import create_cdc_table
+from docetl_spark.functions.ann_index import (
+    IVF_SUBDIR,
+    ivf_ingest,
+    ivf_stored_recall_at_k,
+    knn_ivf_stored,
+)
+from docetl_spark.functions.incr_dedup import band_index_path
+from docetl_spark.lake.table import LakeTable
+
+
+def _clustered(spark, n=96, dim=16, n_anchors=4):
+    """Deterministic anchored clusters: vector i leans hard toward
+    anchor i % n_anchors (IVF's favorable regime, as in the r4 oracle)."""
+    rows = []
+    for i in range(n):
+        a = i % n_anchors
+        v = [0.05 * ((i * 7 + d) % 5) for d in range(dim)]
+        for d in range(a * (dim // n_anchors), (a + 1) * (dim // n_anchors)):
+            v[d] += 3.0
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture()
+def corpus_table(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    return create_cdc_table(path, ["vec_id"], num_buckets=4, key_types={"vec_id": "long"})
+
+
+def test_ivf_ingest_pin_fence_and_stored_knn(spark, corpus_table):
+    emb = _clustered(spark)
+    b0 = emb.filter("vec_id < 48")
+    b1 = emb.filter("vec_id >= 48")
+    m0 = ivf_ingest(spark, corpus_table, b0, 0, "vec_id", "embedding", n_centroids=8)
+    assert not m0.merge.skipped and m0.index_entries == 48
+
+    # centroids pinned at creation: batch 1 (different data) reuses them
+    idx = LakeTable(band_index_path(corpus_table, IVF_SUBDIR))
+    pin = idx.snapshot().properties["ivf.centroids"]
+    m1 = ivf_ingest(spark, corpus_table, b1, 1, "vec_id", "embedding", n_centroids=8)
+    assert not m1.merge.skipped
+    assert idx.snapshot().properties["ivf.centroids"] == pin
+
+    # fence: redelivered batch is a full no-op on corpus AND index
+    ver = idx.snapshot().version
+    m1b = ivf_ingest(spark, corpus_table, b1, 1, "vec_id", "embedding", n_centroids=8)
+    assert m1b.merge.skipped and idx.snapshot().version == ver
+
+    # stored kNN: every query's neighbors come from its own anchor class
+    queries = emb.filter("vec_id < 4")
+    top = knn_ivf_stored(spark, corpus_table, queries, "vec_id", "embedding",
+                         k=3, n_probe=2)
+    rows = top.collect()
+    assert len(rows) == 12  # 4 queries x 3 neighbors
+    for r in rows:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
+
+    # certificate over the persisted index
+    rec = ivf_stored_recall_at_k(spark, corpus_table, queries, "vec_id",
+                                 "embedding", k=3, n_probe=2)
+    assert all(r["recall"] >= 0.9 for r in rec.collect())
+
+
+def test_ivf_param_mismatch_and_rebuild(spark, corpus_table):
+    emb = _clustered(spark)
+    ivf_ingest(spark, corpus_table, emb.filter("vec_id < 48"), 0, "vec_id",
+               "embedding", n_centroids=8)
+    # different banding params against the pinned index must fail loudly
+    with pytest.raises(ValueError, match="band index"):
+        ivf_ingest(spark, corpus_table, emb.filter("vec_id >= 48"), 1,
+                   "vec_id", "embedding", n_centroids=4)
+
+    # rebuild path: drop the sidecar -> next ingest retrains and the
+    # creation backfill re-assigns the whole stored corpus
+    shutil.rmtree(band_index_path(corpus_table, IVF_SUBDIR))
+    ivf_ingest(spark, corpus_table, emb.filter("vec_id >= 48"), 1, "vec_id",
+               "embedding", n_centroids=4)
+    idx = LakeTable(band_index_path(corpus_table, IVF_SUBDIR))
+    assert idx.snapshot().properties["ivf.n-centroids"] == "4"
+    n_idx = idx.read(spark).select("_sid").distinct().count()
+    assert n_idx == 96  # backfill covered batch 0's rows too
+
+    rec = ivf_stored_recall_at_k(spark, corpus_table,
+                                 emb.filter("vec_id < 4"), "vec_id",
+                                 "embedding", k=3, n_probe=2)
+    assert all(r["recall"] >= 0.9 for r in rec.collect())
+
+
+def test_ivf_ingest_rejects_non_integral_id(spark, corpus_table):
+    df = spark.createDataFrame([("a", [1.0, 2.0])], "vec_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="integral id_col"):
+        ivf_ingest(spark, corpus_table, df, 0, "vec_id", "embedding")
+
+
+def test_knn_ivf_stored_requires_index(spark, corpus_table):
+    emb = _clustered(spark, n=8)
+    with pytest.raises(ValueError, match="no IVF index"):
+        knn_ivf_stored(spark, corpus_table, emb, "vec_id", "embedding", k=2)
