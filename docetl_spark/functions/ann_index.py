@@ -214,7 +214,10 @@ def _stored_candidate_pairs(
         spark, [b for b in ibuckets if b in isnap.files], isnap
     ).select("_band", "_sid")  # MOR deltas are insert-only unique rows
     pairs = (
-        q_cells.join(entries, "_band")
+        # query side is |Q| * n_probe rows — broadcast so the index side
+        # never shuffles (file-source stats can hide how small it is
+        # behind the Arrow UDF and AQE would sort-merge both sides)
+        entries.join(F.broadcast(q_cells), "_band")
         .select("_qid", F.col("_sid").alias("_nid"))
         .filter(F.col("_nid") != F.col("_qid"))
         .distinct()
