@@ -182,14 +182,20 @@ def _recall_against_brute(c: DataFrame, q: DataFrame, k: int, pairs: DataFrame) 
     try:
         brute = _rank_topk(scored, k)
         approx = _rank_topk(scored.join(pairs, ["_qid", "_nid"], "left_semi"), k)
+        # approx/hits are <= |Q|*k rows by construction — broadcast them so
+        # the certificate assembly never shuffles the (larger) brute frame
         hits = (
             brute.select("query_id", "neighbor_id")
-            .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi")
+            .join(
+                F.broadcast(approx.select("query_id", "neighbor_id")),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("_hits"))
         )
         denom = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
-        res = denom.join(hits, "query_id", "left").select(
+        res = denom.join(F.broadcast(hits), "query_id", "left").select(
             "query_id",
             (F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_n")).alias("recall"),
         )
@@ -201,7 +207,8 @@ def _recall_against_brute(c: DataFrame, q: DataFrame, k: int, pairs: DataFrame) 
     # queries absent from the brute frame (corpus holds no OTHER vector)
     # have no meaningful recall; give them 1.0 so certificates stay green
     qids = q.select(F.col("_qid").alias("query_id")).distinct()
-    return qids.join(out, "query_id", "left").select(
+    # `out` is a |Q|-row local frame (just collected) — broadcast it
+    return qids.join(F.broadcast(out), "query_id", "left").select(
         "query_id", F.coalesce(F.col("recall"), F.lit(1.0)).alias("recall")
     )
 

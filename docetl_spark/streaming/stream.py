@@ -160,3 +160,56 @@ def stream_dedup_ingest(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ivf_ingest(
+    spark: SparkSession,
+    table: LakeTable,
+    vectors: DataFrame,
+    checkpoint_dir: str,
+    id_col: str,
+    vec_col: str,
+    metrics_path: str | None = None,
+    trigger_available_now: bool = True,
+    query_name: str = "ivf_ingest",
+    **ivf_kwargs,
+) -> StreamingQuery:
+    """Streaming face of the persistent-IVF-index maintenance loop
+    (functions/ann_index.ivf_ingest): tail a stream of (id, vector)
+    rows, assign each microbatch to its pinned centroids, MOR-append the
+    (cell, id) sidecar and commit the corpus rows — all under the shared
+    batch-id fence, so a replayed microbatch is a no-op and the index
+    never double-counts an id (the same idempotent-foreachBatch contract
+    as ``stream_changes`` / ``stream_dedup_ingest``).
+
+    Centroids train on the FIRST microbatch ever ingested and stay
+    pinned (ann_index.py training-pin contract) — start the stream on a
+    representative first file, or pre-train by running one batch
+    ``ivf_ingest`` before attaching the stream. Crash between the index
+    append and the corpus commit leaves harmless phantoms that the
+    fenced replay repairs, exactly as in the batch path."""
+    from docetl_spark.functions.ann_index import ivf_ingest
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        stats = ivf_ingest(spark, table, batch_df, int(batch_id),
+                           id_col, vec_col, **ivf_kwargs)
+        if metrics_path:
+            os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+            with open(metrics_path, "a") as f:
+                rec = {
+                    "batch_id": int(batch_id),
+                    "batch_rows": stats.batch_rows,
+                    "index_entries": stats.index_entries,
+                    "skipped": stats.merge.skipped,
+                    "snapshot_version": stats.merge.snapshot_version,
+                }
+                f.write(json.dumps(rec) + "\n")
+
+    writer = (
+        vectors.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -185,3 +185,59 @@ def test_stream_dedup_ingest_drains_and_dedups(spark, tmp_path):
     q2.awaitTermination(300)
     assert table.snapshot().version == v
     assert sorted(r["doc_id"] for r in read_state(spark, table).collect()) == [0, 2, 4]
+
+
+def test_stream_ivf_ingest_maintains_index_and_fence(spark, tmp_path):
+    # streaming face of the persistent IVF index: file-drop vector
+    # segments -> foreachBatch ivf_ingest; centroids pin on the first
+    # microbatch, the recall certificate runs against the persisted
+    # sidecar, and a checkpoint restart re-applies nothing
+    from docetl_spark.cdc import create_cdc_table
+    from docetl_spark.functions.ann_index import (
+        IVF_SUBDIR, ivf_stored_recall_at_k,
+    )
+    from docetl_spark.functions.incr_dedup import band_index_path
+    from docetl_spark.lake.table import LakeTable
+    from docetl_spark.streaming.stream import stream_ivf_ingest
+    from tests.test_ann_index import _clustered
+
+    vecs = _clustered(spark, n=96)
+    wal = str(tmp_path / "vec_wal")
+    os.makedirs(wal)
+    pdf = vecs.toPandas()
+    pdf[pdf.vec_id < 48].to_parquet(os.path.join(wal, "seg-000.parquet"), index=False)
+    pdf[pdf.vec_id >= 48].to_parquet(os.path.join(wal, "seg-001.parquet"), index=False)
+
+    table = create_cdc_table(str(tmp_path / "corpus"), ["vec_id"], num_buckets=4,
+                             key_types={"vec_id": "long"})
+    schema = "vec_id long, embedding array<double>"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(wal)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ivf_ingest(spark, table, stream, ckpt, "vec_id", "embedding",
+                          n_centroids=8, metrics_path=str(tmp_path / "m.jsonl"))
+    q.awaitTermination(300)
+
+    assert read_state(spark, table).count() == 96
+    idx = LakeTable(band_index_path(table, IVF_SUBDIR))
+    assert idx.exists()
+    # one index entry per corpus row (each vector lands in exactly 1 cell)
+    assert read_state(spark, idx).count() == 96
+    v = table.snapshot().version
+    iv = idx.snapshot().version
+
+    rec = ivf_stored_recall_at_k(
+        spark, table, vecs.filter("vec_id < 6"), "vec_id", "embedding",
+        k=4, n_probe=3,
+    )
+    assert all(r["recall"] >= 0.6 for r in rec.collect())
+
+    # restart on same checkpoint: nothing new -> no re-application to
+    # either the corpus or the index sidecar
+    stream2 = spark.readStream.schema(schema).parquet(wal)
+    q2 = stream_ivf_ingest(spark, table, stream2, ckpt, "vec_id", "embedding",
+                           n_centroids=8)
+    q2.awaitTermination(300)
+    assert table.snapshot().version == v
+    assert idx.snapshot().version == iv
