@@ -87,11 +87,26 @@ def read_keys(spark: SparkSession, table: LakeTable, keys: DataFrame) -> DataFra
     if not key_rows:
         return read_state(spark, table).limit(0)
     lookup = spark.createDataFrame(key_rows, keys.select(*snap.key_cols).schema)
+    return read_keys_frame(spark, table, lookup, snap=snap)
+
+
+def read_keys_frame(spark: SparkSession, table: LakeTable, keys: DataFrame,
+                    snap=None) -> DataFrame:
+    """Bucket-pruned point lookup with a DISTRIBUTED key frame: the
+    shared read-repair tail of every point lookup (``read_keys``, the
+    dedup ingest's candidate fetch, the stored-ANN candidate fetch).
+    Reads only the hash buckets the keys land in, broadcast-semi-joins
+    the (bounded) key set so wide rows never shuffle, LWW-dedups MOR
+    deltas and drops tombstones. Only the distinct bucket ids are
+    collected (≤ num_buckets ints); ``keys`` must carry exactly the
+    table's key columns."""
+    snap = snap or table.snapshot()
     buckets = sorted({
-        r["_b"] for r in lookup.select(table.bucket_expr(snap).alias("_b")).collect()
+        r["_b"]
+        for r in keys.select(table.bucket_expr(snap).alias("_b")).distinct().collect()
     })
     df = table.read_buckets(spark, [b for b in buckets if b in snap.files], snap)
-    df = df.join(F.broadcast(lookup), on=snap.key_cols, how="left_semi")
+    df = df.join(F.broadcast(keys), on=snap.key_cols, how="left_semi")
     if snap.properties.get(DELTA_PROP) == "true":
         df = dedup_last_writer(df, snap.key_cols)
     if DELETED_COL in df.columns:

@@ -134,6 +134,17 @@ def ivf_ingest(
             merge=MergeMetrics(batch_id=batch_id, skipped=True, snapshot_version=snap.version)
         )
 
+    batch = batch.localCheckpoint()  # pin: feeds the index append AND the corpus write
+    n_batch = batch.count()
+    if n_batch == 0:
+        # routine on stream start (an empty first microbatch would
+        # otherwise crash centroid training); nothing commits, the fence
+        # stays put, and a replay of this id re-enters and no-ops again
+        return IvfIngestMetrics(
+            merge=MergeMetrics(batch_id=batch_id, skipped=False,
+                               snapshot_version=snap.version)
+        )
+
     idx_t = LakeTable(band_index_path(table, IVF_SUBDIR))
     if idx_t.exists():
         centroids = json.loads(idx_t.snapshot().properties[CENTROIDS_PROP])
@@ -145,19 +156,23 @@ def ivf_ingest(
         spark, table, snap, batch.schema[id_col], cell_fn, params, subdir=IVF_SUBDIR
     )
 
-    batch = batch.localCheckpoint()  # pin: feeds the index append AND the corpus write
-    n_batch = batch.count()
+    # lsn = batch_id, NOT the vector id: re-ingesting an id with a new
+    # embedding must last-write-win on recency (an id-valued lsn would
+    # tie every version of the same key and let struct-max pick the
+    # lexicographically larger embedding). Within one batch, duplicate
+    # ids tie and resolve by the merge's deterministic struct-max.
+    lsn = F.lit(int(batch_id)).cast("long").alias("lsn")
 
     # index first, corpus second — crash in between leaves harmless
     # phantoms (see module docstring)
     idx_changes = batch.select(
-        F.col(id_col).cast("long").alias("lsn"), F.lit("I").alias("op"),
+        lsn, F.lit("I").alias("op"),
         F.explode(cell_fn(batch)).alias("_band"), F.col(id_col).alias("_sid"),
     )
     imetrics = merge_apply(spark, idx, idx_changes, batch_id, mode="mor")
 
     changes = batch.select(
-        F.col(id_col).cast("long").alias("lsn"), F.lit("I").alias("op"),
+        lsn, F.lit("I").alias("op"),
         *[c for c in batch.columns],
     )
     metrics = merge_apply(spark, table, changes, batch_id, mode=mode)
@@ -178,19 +193,13 @@ def ivf_ingest(
 
 
 def _stored_corpus(spark: SparkSession, table: LakeTable, snap, sids: DataFrame, id_col: str):
-    """Candidate rows by bucket-pruned point lookup: read only the hash
-    buckets the candidate ids land in, then broadcast-semi-join the
-    (pair-bounded) id set — wide rows never shuffle."""
-    cbuckets = _affected_hash_buckets(sids, table.bucket_expr(snap))
-    cand = table.read_buckets(spark, [b for b in cbuckets if b in snap.files], snap)
-    cand = cand.join(F.broadcast(sids), id_col, "left_semi")
-    if snap.properties.get("cdc.has-deltas") == "true":
-        from docetl_spark.cdc.merge import dedup_last_writer
+    """Candidate rows by bucket-pruned point lookup (the shared
+    read-repair tail, cdc/replay.read_keys_frame): only the buckets the
+    (pair-bounded) candidate ids land in are read, the id set broadcasts
+    into a semi-join — wide rows never shuffle."""
+    from docetl_spark.cdc.replay import read_keys_frame
 
-        cand = dedup_last_writer(cand, snap.key_cols)
-    if "_deleted" in cand.columns:
-        cand = cand.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
-    return cand
+    return read_keys_frame(spark, table, sids, snap=snap)
 
 
 def _stored_candidate_pairs(

@@ -426,22 +426,15 @@ def dedup_ingest(
             .distinct()
             .localCheckpoint()  # feeds both the corpus point lookup and the verify join
         )
-        # candidate documents by bucket-pruned corpus point lookup; INNER
-        # against live corpus state, so phantom index entries left by a
-        # crash between the index and corpus commits drop out harmlessly
-        sids = cross_cands.select(F.col("_id1").alias(id_col)).distinct()
-        cbuckets = _affected_hash_buckets(sids, table.bucket_expr(snap))
-        cand_stored = table.read_buckets(spark, [b for b in cbuckets if b in snap.files], snap)
-        # wide corpus rows never shuffle: broadcast the (pair-bounded) id set
-        cand_stored = cand_stored.join(F.broadcast(sids), id_col, "left_semi")
-        if snap.properties.get("cdc.has-deltas") == "true":
-            from docetl_spark.cdc.merge import dedup_last_writer
+        # candidate documents by bucket-pruned corpus point lookup (the
+        # shared read-repair tail, cdc/replay.read_keys_frame — broadcast
+        # ids, wide rows never shuffle); INNER against live corpus
+        # state, so phantom index entries left by a crash between the
+        # index and corpus commits drop out harmlessly
+        from docetl_spark.cdc.replay import read_keys_frame
 
-            cand_stored = dedup_last_writer(cand_stored, snap.key_cols)
-        if "_deleted" in cand_stored.columns:
-            cand_stored = cand_stored.filter(
-                ~F.coalesce(F.col("_deleted"), F.lit(False))
-            ).drop("_deleted")
+        sids = cross_cands.select(F.col("_id1").alias(id_col)).distinct()
+        cand_stored = read_keys_frame(spark, table, sids, snap=snap)
         cross_pairs = verified(cross_cands, cand_stored, signed)
         dropped_cross = cross_pairs.select(F.col("_id2").alias("_id")).distinct()
 

@@ -273,6 +273,10 @@ def bm25_score(
     once yourself) to amortize the corpus scans across many queries on a
     stable corpus — the per-call cost then drops to one bounded vocab
     lookup."""
+    if not _preprocess_query(query):
+        # nothing to score — skip the corpus-stats fit entirely (two
+        # corpus scans for a constant-zero column otherwise)
+        return F.lit(0.0)
     if stats is None:
         stats = Bm25Stats.fit(df, text_col, k1=k1, b=b, epsilon=epsilon)
     return stats.score(query, text_col)

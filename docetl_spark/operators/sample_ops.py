@@ -55,6 +55,11 @@ def sample(
             f"sample method={method!r} needs samples"
             + (" or samples_per_group" if method == "uniform" else "")
         )
+    if samples_per_group is not None and not stratify_key:
+        # samples_per_group is a per-stratum quota; without strata it
+        # would silently fall through to the exact-count path and die on
+        # int(None)
+        raise ValueError("samples_per_group requires stratify_key")
     if isinstance(stratify_key, (list, tuple)) and not (method == "uniform" and samples_per_group):
         # composite strata (the doc-chunking macro's [split_id, extra])
         # are only defined for the per-group-quota path; the fraction and

@@ -55,6 +55,7 @@ def doc_chunking(
     reduce_aggs: dict[str, str],
     gather_config: dict | None = None,
     sampling: dict | None = None,
+    assume_distinct: bool = False,
 ) -> list[dict]:
     """Emit the composed op sequence for one chunked map.
 
@@ -73,6 +74,8 @@ def doc_chunking(
         "split_key": split_key,
         "method": method,
     }
+    if assume_distinct:  # single-pass split (skip the duplicate probe)
+        split_op["assume_distinct"] = True
     if method == "token_count":
         split_op["num_tokens"] = chunk_size
     else:
@@ -130,6 +133,7 @@ def doc_chunking_topk(
     reduce_aggs: dict[str, str],
     is_filter: bool = False,
     bool_expr: str | None = None,
+    assume_distinct: bool = False,
 ) -> list[dict]:
     """Retrieval-flavored chunking rewrite: ``Map/Filter =>
     Split -> TopK -> Reduce (-> code_filter when the target was a
@@ -160,6 +164,8 @@ def doc_chunking_topk(
         "op": "split", "name": split_name,
         "split_key": split_key, "method": method,
     }
+    if assume_distinct:  # single-pass split (skip the duplicate probe)
+        split_op["assume_distinct"] = True
     if method == "token_count":
         split_op["num_tokens"] = chunk_size
     else:
@@ -307,7 +313,11 @@ def expand_macros(operations: list[dict]) -> list[dict]:
             out.append(cfg)
             continue
         kwargs = {k: v for k, v in cfg.items() if k not in ("op", "name")}
-        out.extend(fn(cfg.get("name", "op"), **kwargs))
+        # unnamed chunked_map keeps its pre-r5 default name ("map") so
+        # existing configs keep their split_map_id / reduce_map column
+        # names; the r5 macros default to "op"
+        default = "map" if cfg.get("op") == "chunked_map" else "op"
+        out.extend(fn(cfg.get("name", default), **kwargs))
     return out
 
 

@@ -114,6 +114,7 @@ def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession,
             df, split_key=cfg["split_key"], method=cfg.get("method", "token_count"),
             num_tokens=cfg.get("num_tokens", 128), delimiter=cfg.get("delimiter", "\n\n"),
             num_splits_to_group=cfg.get("num_splits_to_group", 1), name=cfg.get("name", "split"),
+            assume_distinct=cfg.get("assume_distinct", False),
         )
     if op == "gather":
         return ops.gather(
@@ -220,6 +221,25 @@ def _apply_op(df: DataFrame, cfg: dict, datasets: dict, spark: SparkSession,
     raise ValueError(f"unknown op type {op!r}")
 
 
+def _observation_peek(obs) -> dict | None:
+    """Non-blocking read of a pyspark ``Observation``: the observed
+    metrics dict if the plan's first action has completed, else None.
+    ``Observation.get`` blocks until that action happens — unusable for
+    an audit call over observations the caller may not have run yet —
+    but the JVM object exposes ``getRowOrEmpty`` (an ``Option[Row]``)."""
+    jo = getattr(obs, "_jo", None)
+    if jo is None:  # never attached to a DataFrame (or Connect impl)
+        return None
+    opt = jo.getRowOrEmpty()
+    if opt is None or not opt.isDefined():
+        return None
+    from pyspark.serializers import CPickleSerializer
+
+    utils = getattr(obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
+    row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
+    return row.asDict(recursive=False)
+
+
 @dataclass
 class Pipeline:
     """Parsed pipeline: datasets, ordered steps, output sink."""
@@ -235,10 +255,14 @@ class Pipeline:
 
     def observed_selectivity(self) -> dict:
         """{op name: {rows_in, rows_kept, selectivity}} for every observed
-        op whose metrics have landed (requires a completed action)."""
+        op whose metrics have landed. Ops whose plan has not yet run an
+        action are simply omitted — this peeks non-blockingly
+        (``Observation.get`` would block the driver FOREVER on a plan
+        that never materialized, e.g. a lazy pipeline result the caller
+        hasn't collected yet)."""
         out = {}
         for name, obs in self.observations.items():
-            m = obs.get
+            m = _observation_peek(obs)
             if m and m.get("rows_in"):
                 out[name] = {
                     "rows_in": m["rows_in"], "rows_kept": m["rows_kept"] or 0,

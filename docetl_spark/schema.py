@@ -125,10 +125,11 @@ def widen(a: T.DataType, b: T.DataType) -> T.DataType:
     an, bn = a.typeName(), b.typeName()
     if an in _NUMERIC and bn in _NUMERIC:
         if "float" in (an, bn):
-            other = bn if an == "float" else an
-            # float vs double -> double; float vs int/long -> double (the
-            # diamond LUB — neither side can represent the other exactly)
-            return T.DoubleType() if other != "float" else T.FloatType()
+            # float vs anything-else-numeric -> double: double widens
+            # float exactly, and float vs int/long is the diamond LUB
+            # (neither side represents the other exactly). float==float
+            # already returned at the a == b check above.
+            return T.DoubleType()
         return a if _WIDEN_CHAIN[an] >= _WIDEN_CHAIN[bn] else b
     if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
         return T.ArrayType(widen(a.elementType, b.elementType), True)

@@ -107,3 +107,34 @@ def test_knn_ivf_stored_requires_index(spark, corpus_table):
     emb = _clustered(spark, n=8)
     with pytest.raises(ValueError, match="no IVF index"):
         knn_ivf_stored(spark, corpus_table, emb, "vec_id", "embedding", k=2)
+
+
+def test_ivf_reingest_last_write_wins(spark, corpus_table):
+    # re-ingesting an id with a NEW embedding must win on recency, not
+    # on lexicographic embedding comparison (lsn is the batch id, never
+    # the vector id)
+    from docetl_spark.cdc.replay import read_state
+
+    emb = _clustered(spark, n=32)
+    ivf_ingest(spark, corpus_table, emb, 0, "vec_id", "embedding", n_centroids=4)
+    # new version of id 7 whose array sorts lexicographically SMALLER
+    # (all zeros) — an id-valued lsn would keep the stale larger one
+    new = spark.createDataFrame([(7, [0.0] * 16)], "vec_id long, embedding array<double>")
+    ivf_ingest(spark, corpus_table, new, 1, "vec_id", "embedding", n_centroids=4)
+    row = read_state(spark, corpus_table).filter("vec_id = 7").collect()
+    assert len(row) == 1 and row[0]["embedding"] == [0.0] * 16
+
+
+def test_ivf_ingest_empty_batch_no_crash_no_commit(spark, corpus_table):
+    # an empty FIRST batch (routine on stream start) must not crash
+    # centroid training, must not create the index, must not move the
+    # fence — the id is free to be reused by a later non-empty delivery
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    m = ivf_ingest(spark, corpus_table, empty, 0, "vec_id", "embedding", n_centroids=4)
+    assert m.batch_rows == 0 and not m.merge.skipped
+    idx = LakeTable(band_index_path(corpus_table, IVF_SUBDIR))
+    assert not idx.exists()
+
+    emb = _clustered(spark, n=16)
+    m2 = ivf_ingest(spark, corpus_table, emb, 0, "vec_id", "embedding", n_centroids=4)
+    assert m2.batch_rows == 16 and idx.exists()

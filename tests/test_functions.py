@@ -462,3 +462,15 @@ def test_knn_ivf_clustered_and_deterministic(spark):
     ivf2 = knn_ivf(df.repartition(9), q, "vec_id", "embedding", k=5,
                    centroids=c1, n_probe=1)
     assert sorted(map(key, ivf2.collect())) == sorted(map(key, brute.collect()))
+
+
+def test_bm25_empty_query_is_free(spark):
+    # a query with no tokens after preprocessing short-circuits to a
+    # constant-zero column BEFORE the corpus-stats fit (df is never
+    # touched — passing None proves no Spark job can have run)
+    from docetl_spark.functions.text import bm25_score
+
+    col = bm25_score(None, "text", "!!! ...")
+    df = spark.createDataFrame([("a",), ("b",)], "text string")
+    vals = [r[0] for r in df.select(col.alias("s")).collect()]
+    assert vals == [0.0, 0.0]

@@ -889,3 +889,11 @@ def test_resolve_limit_comparisons_prioritizes_blocked_pairs(spark):
     # deterministic across runs
     assert clusters(out_capped) == clusters(
         resolve(df, blocking_keys=["k"], compare=F.lit(True), pair_candidates=cand, limit_comparisons=18))
+
+
+def test_sample_samples_per_group_requires_stratify_key(spark):
+    from docetl_spark.operators.sample_ops import sample
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="requires stratify_key"):
+        sample(df, method="uniform", samples_per_group=2)

@@ -422,3 +422,53 @@ def test_hierarchical_reduce_macro(spark, tmp_path):
         .groupBy("user_id").count().withColumnRenamed("count", "n").collect()
     }
     assert got == want
+
+
+def test_observed_selectivity_nonblocking_before_action(spark, tmp_path):
+    # observed_selectivity must PEEK, not block: on a lazy (never
+    # materialized) observed pipeline it returns {} instead of hanging
+    # the driver inside Observation.get
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [{"name": "s1", "input": "docs", "operations": [
+            {"op": "filter", "name": "f1", "where": "n_chars >= 400",
+             "observe": True},
+        ]}],
+    }
+    p = Pipeline.from_yaml(_write(tmp_path, cfg))
+    df = p.run(spark)          # lazy — no action yet
+    assert p.observed_selectivity() == {}
+    df.count()                 # first action lands the metrics
+    sel = p.observed_selectivity()
+    assert sel["f1"]["rows_in"] > 0
+
+
+def test_chunked_map_backcompat_default_name(spark):
+    # an UNNAMED chunked_map keeps its pre-r5 default target name "map"
+    # (split_map / reduce_map columns); the r5 macros default to "op"
+    from docetl_spark.plans.macros import expand_macros
+
+    ops = expand_macros([{
+        "op": "chunked_map", "split_key": "text",
+        "sub_expr": {"n": "length(text_chunk)"}, "reduce_aggs": {"m": "max(n)"},
+    }])
+    assert ops[0]["name"] == "split_map"
+    assert any(o.get("name") == "reduce_map" for o in ops)
+
+
+def test_split_assume_distinct_plumbed(spark):
+    # YAML split op and both chunking macros forward assume_distinct so
+    # pipelines can use the single-pass (no duplicate-probe) split path
+    from docetl_spark.plans.macros import doc_chunking, doc_chunking_topk
+
+    ops = doc_chunking(
+        "m", split_key="text", sub_expr={"n": "1"}, reduce_aggs={"s": "sum(n)"},
+        assume_distinct=True,
+    )
+    assert ops[0]["op"] == "split" and ops[0]["assume_distinct"] is True
+    ops2 = doc_chunking_topk(
+        "m", split_key="text",
+        topk_config={"method": "fts_simple", "k": 2, "query": "dup"},
+        reduce_aggs={"s": "count(1)"}, assume_distinct=True,
+    )
+    assert ops2[0]["op"] == "split" and ops2[0]["assume_distinct"] is True
