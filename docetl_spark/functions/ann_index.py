@@ -288,3 +288,14 @@ def ivf_stored_recall_at_k(
     state = read_state(spark, table)
     c = state.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
     return _recall_against_brute(c, q, k, pairs)
+
+
+def prune_ivf_orphans(spark: SparkSession, table: LakeTable, conflict_retries: int = 3):
+    """Drop IVF index entries for ids no longer live in the corpus —
+    the same filtered compaction as the dedup index's
+    ``incr_dedup.prune_index_orphans`` (orphans are read-harmless but
+    bloat candidate sets without bound on delete-heavy corpora)."""
+    from docetl_spark.functions.incr_dedup import prune_index_orphans
+
+    return prune_index_orphans(spark, table, subdir=IVF_SUBDIR,
+                               conflict_retries=conflict_retries)

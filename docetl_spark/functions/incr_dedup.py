@@ -505,3 +505,58 @@ def dedup_ingest(
         kept=n_kept,
         index_entries=0 if imetrics.skipped else imetrics.keys_in_batch,
     )
+
+
+def prune_index_orphans(
+    spark: SparkSession,
+    table: LakeTable,
+    subdir: str = IDX_SUBDIR,
+    conflict_retries: int = 3,
+):
+    """Maintenance: rewrite the banded index dropping entries whose doc id
+    is no longer LIVE in the corpus (tombstoned deletes, or phantoms from
+    a crashed never-redelivered batch).
+
+    Orphan entries are read-CORRECT forever — blocking candidates verify
+    against live corpus state, so a deleted doc never resurfaces in dedup
+    decisions or stored-kNN results — but on a delete-heavy corpus they
+    bloat every candidate set and index read without bound. This prune is
+    a FILTERED compaction of the index sidecar: one pass over the index
+    (every bucket rewrites), semi-joined against the corpus's narrow live
+    key column, committed atomically with the same conflict-retry loop as
+    ``compact_state`` (an ingest racing the prune wins the version race;
+    the prune re-runs against the fresh snapshot). The index fence and
+    pinned parameters are untouched — ingest continues unmodified after.
+
+    Index rows are two longs, so the _sid-keyed semi-join shuffle is tiny
+    relative to any corpus operation; run it on the same cadence as
+    corpus compaction when the workload deletes at all. Works for every
+    band-index sidecar: the dedup index (default) and the IVF index
+    (``subdir=ann_index.IVF_SUBDIR``).
+    """
+    from docetl_spark.cdc.merge import DELTA_PROP, dedup_last_writer
+    from docetl_spark.cdc.replay import read_state
+    from docetl_spark.lake.table import CommitConflict
+
+    idx = LakeTable(band_index_path(table, subdir))
+    if not idx.exists():
+        return None
+    id_col = table.snapshot().key_cols[0]
+    live = read_state(spark, table).select(F.col(id_col).alias("_sid")).distinct()
+    for attempt in range(conflict_retries + 1):
+        isnap = idx.snapshot()
+        has_deltas = isnap.properties.get(DELTA_PROP) == "true"
+
+        def transform(df):
+            if has_deltas:
+                df = dedup_last_writer(df, isnap.key_cols)
+            return df.join(live, "_sid", "left_semi")
+
+        try:
+            return idx.compact(
+                spark, min_files=1, transform=transform,
+                properties={DELTA_PROP: "false"} if has_deltas else None,
+            )
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise

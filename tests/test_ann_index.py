@@ -138,3 +138,35 @@ def test_ivf_ingest_empty_batch_no_crash_no_commit(spark, corpus_table):
     emb = _clustered(spark, n=16)
     m2 = ivf_ingest(spark, corpus_table, emb, 0, "vec_id", "embedding", n_centroids=4)
     assert m2.batch_rows == 16 and idx.exists()
+
+
+def test_delete_then_prune_ivf_orphans(spark, corpus_table):
+    # tombstoned docs never surface in stored kNN (live-state point
+    # lookup) even BEFORE pruning; prune_ivf_orphans then removes their
+    # index entries so delete-heavy corpora don't bloat candidate sets
+    from docetl_spark.cdc import merge_apply
+    from docetl_spark.cdc.replay import read_state
+    from docetl_spark.functions.ann_index import prune_ivf_orphans
+
+    emb = _clustered(spark, n=32)
+    ivf_ingest(spark, corpus_table, emb, 0, "vec_id", "embedding", n_centroids=4)
+    dele = spark.createDataFrame(
+        [(100, "D", 4, None), (100, "D", 8, None)],
+        "lsn long, op string, vec_id long, embedding array<double>")
+    merge_apply(spark, corpus_table, dele, 1, mode="mor")
+
+    top = knn_ivf_stored(spark, corpus_table, emb.filter("vec_id = 0"),
+                         "vec_id", "embedding", k=31, n_probe=4)
+    ns = {r["neighbor_id"] for r in top.collect()}
+    assert 4 not in ns and 8 not in ns  # correct even with orphans present
+
+    idx = LakeTable(band_index_path(corpus_table, IVF_SUBDIR))
+    assert idx.read(spark).filter("_sid in (4, 8)").count() > 0  # orphans exist
+    prune_ivf_orphans(spark, corpus_table)
+    assert idx.read(spark).filter("_sid in (4, 8)").count() == 0
+    assert read_state(spark, idx).count() == 30  # one entry per live row
+
+    # search identical after the prune; further ingest still fenced fine
+    top2 = knn_ivf_stored(spark, corpus_table, emb.filter("vec_id = 0"),
+                          "vec_id", "embedding", k=31, n_probe=4)
+    assert {r["neighbor_id"] for r in top2.collect()} == ns

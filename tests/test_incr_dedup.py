@@ -331,3 +331,40 @@ def test_interrupted_backfill_repairs_on_next_open(spark, tmp_path, corpus, monk
                       num_hashes=32, bands=16, threshold=0.6)
     assert st.dropped_cross == 1 and st.kept == 0
     assert sorted(r["doc_id"] for r in read_state(spark, table).collect()) == [0, 2, 4]
+
+
+def test_delete_then_prune_index_orphans(spark, tmp_path, corpus):
+    """Tombstoned docs leave orphan index entries (read-harmless: a new
+    duplicate of a deleted doc is KEPT either way, since candidates
+    verify against live corpus state); prune_index_orphans removes them
+    so delete-heavy corpora don't bloat index reads forever."""
+    from docetl_spark.cdc.merge import merge_apply
+    from docetl_spark.functions.incr_dedup import (
+        band_index_path, prune_index_orphans,
+    )
+    from docetl_spark.lake.table import LakeTable
+
+    table = create_cdc_table(str(tmp_path / "t"), ["doc_id"], num_buckets=4,
+                             key_types={"doc_id": "int"})
+    dedup_ingest(spark, table, corpus.filter("doc_id in (0, 2, 4)"), 0,
+                 "doc_id", "text", num_hashes=32, bands=16, threshold=0.6)
+    # tombstone doc 0 (BASE text)
+    dele = spark.createDataFrame([(100, "D", 0)], "lsn long, op string, doc_id int")
+    merge_apply(spark, table, dele, 1, mode="mor")
+
+    idx = LakeTable(band_index_path(table))
+    assert idx.read(spark).filter("_sid = 0").count() > 0  # orphans exist
+    prune_index_orphans(spark, table)
+    assert idx.read(spark).filter("_sid = 0").count() == 0
+    live_sids = {r["_sid"] for r in read_state(spark, idx).collect()}
+    assert live_sids == {2, 4}
+
+    # post-prune ingest: doc 5 (exact dup of the DELETED lineage's text
+    # via doc 1's content is irrelevant here — 5 duplicates BASE+extra,
+    # which near-dups the deleted 0's BASE) must be kept, since its only
+    # near-dup partner is gone from the live corpus
+    st = dedup_ingest(spark, table, corpus.filter("doc_id = 5"), 2,
+                      "doc_id", "text", num_hashes=32, bands=16, threshold=0.6)
+    assert st.kept == 1
+    kept = sorted(r["doc_id"] for r in read_state(spark, table).collect())
+    assert kept == [2, 4, 5]
