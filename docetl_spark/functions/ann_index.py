@@ -299,3 +299,21 @@ def prune_ivf_orphans(spark: SparkSession, table: LakeTable, conflict_retries: i
 
     return prune_index_orphans(spark, table, subdir=IVF_SUBDIR,
                                conflict_retries=conflict_retries)
+
+
+def rebuild_ivf_index(spark: SparkSession, table: LakeTable, vec_col: str,
+                      conflict_retries: int = 3):
+    """PIN-PRESERVING full reindex: atomically replace the IVF sidecar's
+    contents with fresh (cell, id) entries for every live corpus row,
+    assigned under the EXISTING pinned centroids. Reclaims stale-cell
+    entries left by re-embedded ids (which ``prune_ivf_orphans`` keeps —
+    their ids are still live) without the delete-the-dir rebuild that
+    retrains centroids and silently changes every stored cell. One
+    O(corpus) assignment pass; run it when the update rate has bloated
+    the index, not per batch."""
+    from docetl_spark.functions.incr_dedup import rebuild_band_index
+
+    _, centroids = _open_index(table)
+    cell_fn = _cell_expr_fn(centroids, vec_col, n_probe=1)
+    return rebuild_band_index(spark, table, cell_fn, subdir=IVF_SUBDIR,
+                              conflict_retries=conflict_retries)

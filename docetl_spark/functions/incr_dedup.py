@@ -533,6 +533,15 @@ def prune_index_orphans(
     corpus compaction when the workload deletes at all. Works for every
     band-index sidecar: the dedup index (default) and the IVF index
     (``subdir=ann_index.IVF_SUBDIR``).
+
+    Scope: this prunes DEAD-ID orphans only. A re-ingested id whose
+    content moved bands/cells leaves STALE entries under its old bands —
+    the id is still live, so they survive this prune. They too are
+    read-harmless (verification scores live content) and bounded by the
+    update rate; reclaiming them needs a band recomputation over the
+    live corpus — the O(corpus) backfill path, not a filtered
+    compaction — so heavily re-embedded corpora should periodically
+    rebuild instead (delete the sidecar dir; next ingest backfills).
     """
     from docetl_spark.cdc.merge import DELTA_PROP, dedup_last_writer
     from docetl_spark.cdc.replay import read_state
@@ -556,6 +565,70 @@ def prune_index_orphans(
             return idx.compact(
                 spark, min_files=1, transform=transform,
                 properties={DELTA_PROP: "false"} if has_deltas else None,
+            )
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+
+
+def rebuild_band_index(
+    spark: SparkSession,
+    table: LakeTable,
+    band_expr_fn,
+    subdir: str = IDX_SUBDIR,
+    conflict_retries: int = 3,
+):
+    """Maintenance: atomically replace the index sidecar's CONTENTS with
+    fresh (band, id) entries computed from every LIVE corpus row, keeping
+    the index table, its pinned parameters and its fence untouched.
+
+    This is the full-refresh counterpart of ``prune_index_orphans``: one
+    O(corpus) banding pass (the backfill cost, paid on demand) that
+    reclaims BOTH dead-id orphans and the stale-band entries a
+    re-ingested id leaves under its old bands — without the
+    delete-the-dir rebuild that loses the pin (and for the IVF index
+    would retrain centroids, silently changing every stored cell).
+    ``band_expr_fn`` must be built from the PINNED parameters (for IVF
+    use ``ann_index.rebuild_ivf_index``, which derives it from the pinned
+    centroids). Every bucket is replaced in ONE commit (readers on older
+    snapshots are unaffected; a racing ingest wins the version race and
+    the rebuild retries against the fresh snapshot)."""
+    import uuid
+
+    from docetl_spark.cdc.merge import DELETED_COL, DELTA_PROP
+    from docetl_spark.cdc.replay import read_state
+    from docetl_spark.lake.table import CommitConflict
+
+    idx = LakeTable(band_index_path(table, subdir))
+    if not idx.exists():
+        return None
+    snap = table.snapshot()
+    id_col = snap.key_cols[0]
+    live = read_state(spark, table)
+    for attempt in range(conflict_retries + 1):
+        isnap = idx.snapshot()
+        fence = int(isnap.properties.get(FENCE_PROP, "-1"))
+        entries = (
+            live.select(
+                F.explode(band_expr_fn(live)).alias("_band"),
+                F.col(id_col).alias("_sid"),
+            )
+            .distinct()
+            .select(  # conform to the index's physical schema
+                "_band", "_sid",
+                F.lit(fence).cast("long").alias("lsn"),
+                F.lit(False).alias(DELETED_COL),
+            )
+        )
+        tag = f"reindex{isnap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        new_files = idx.write_bucket_files(entries, isnap, tag, repartition=True)
+        try:
+            return idx.commit(
+                new_files,
+                replaced_buckets=set(range(isnap.num_buckets)),
+                properties={DELTA_PROP: "false"},
+                summary={"operation": "reindex", "buckets": isnap.num_buckets},
+                expected_version=isnap.version,
             )
         except CommitConflict:
             if attempt >= conflict_retries:

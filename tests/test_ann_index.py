@@ -170,3 +170,51 @@ def test_delete_then_prune_ivf_orphans(spark, corpus_table):
     top2 = knn_ivf_stored(spark, corpus_table, emb.filter("vec_id = 0"),
                           "vec_id", "embedding", k=31, n_probe=4)
     assert {r["neighbor_id"] for r in top2.collect()} == ns
+
+
+def test_rebuild_ivf_index_reclaims_stale_cells_keeps_pin(spark, corpus_table):
+    # a re-embedded id moves cells: the old (cell, id) entry survives the
+    # id-based prune (id still live); rebuild_ivf_index reclaims it under
+    # the SAME pinned centroids (no retrain)
+    from docetl_spark.cdc.replay import read_state
+    from docetl_spark.functions.ann_index import (
+        CENTROIDS_PROP, prune_ivf_orphans, rebuild_ivf_index,
+    )
+
+    emb = _clustered(spark, n=32)
+    ivf_ingest(spark, corpus_table, emb, 0, "vec_id", "embedding", n_centroids=4)
+    idx = LakeTable(band_index_path(corpus_table, IVF_SUBDIR))
+    pin = idx.snapshot().properties[CENTROIDS_PROP]
+    old_cells = {r["_band"] for r in read_state(spark, idx).filter("_sid = 1").collect()}
+
+    # re-embed id 1 into a different anchored cluster (anchor 2's region)
+    v = [0.0] * 16
+    for d in range(8, 12):
+        v[d] = 3.0
+    ivf_ingest(spark, corpus_table,
+               spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>"),
+               1, "vec_id", "embedding", n_centroids=4)
+    cells_now = {r["_band"] for r in read_state(spark, idx).filter("_sid = 1").collect()}
+    assert old_cells < cells_now  # stale old cell + fresh new cell
+
+    prune_ivf_orphans(spark, corpus_table)
+    assert {r["_band"] for r in read_state(spark, idx).filter("_sid = 1").collect()} == cells_now
+
+    rebuild_ivf_index(spark, corpus_table, "embedding")
+    isnap = idx.snapshot()
+    assert isnap.properties[CENTROIDS_PROP] == pin  # centroids untouched
+    rebuilt = {r["_band"] for r in read_state(spark, idx).filter("_sid = 1").collect()}
+    assert len(rebuilt) == 1 and rebuilt.isdisjoint(old_cells)
+    assert read_state(spark, idx).count() == 32  # one entry per live row
+
+    # search still works against the rebuilt index: id 1 now lives in
+    # anchor 2's cluster, so an anchor-2 query (6 % 4 == 2) finds it
+    top = knn_ivf_stored(spark, corpus_table, emb.filter("vec_id = 6"),
+                         "vec_id", "embedding", k=8, n_probe=4)
+    assert 1 in {r["neighbor_id"] for r in top.collect()}
+
+    # fence intact: replaying batch 1 is still a no-op
+    m = ivf_ingest(spark, corpus_table,
+                   spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>"),
+                   1, "vec_id", "embedding", n_centroids=4)
+    assert m.merge.skipped

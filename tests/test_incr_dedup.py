@@ -368,3 +368,39 @@ def test_delete_then_prune_index_orphans(spark, tmp_path, corpus):
     assert st.kept == 1
     kept = sorted(r["doc_id"] for r in read_state(spark, table).collect())
     assert kept == [2, 4, 5]
+
+
+def test_rebuild_band_index_dedup_face(spark, tmp_path, corpus):
+    """rebuild_band_index refreshes the dedup sidecar from live stored
+    signatures under the pinned banding params — reclaiming dead-id
+    orphans AND stale bands in one atomic full replacement."""
+    from docetl_spark.cdc.merge import merge_apply
+    from docetl_spark.functions.dedup import band_buckets
+    from docetl_spark.functions.incr_dedup import (
+        SIG_COL, band_index_path, rebuild_band_index,
+    )
+    from docetl_spark.lake.table import LakeTable
+
+    table = create_cdc_table(str(tmp_path / "t"), ["doc_id"], num_buckets=4,
+                             key_types={"doc_id": "int"})
+    dedup_ingest(spark, table, corpus.filter("doc_id in (0, 2, 4)"), 0,
+                 "doc_id", "text", num_hashes=32, bands=16, threshold=0.6)
+    merge_apply(spark, table,
+                spark.createDataFrame([(100, "D", 0)], "lsn long, op string, doc_id int"),
+                1, mode="mor")
+
+    idx = LakeTable(band_index_path(table))
+    v0 = idx.snapshot().version
+    # band fn over STORED rows (signatures live in the corpus), same
+    # pinned params the ingest used — mirrors the backfill contract
+    rebuild_band_index(spark, table, lambda frame: band_buckets(SIG_COL, 32, 16))
+    isnap = idx.snapshot()
+    assert isnap.version == v0 + 1
+    assert isnap.properties["dedup.method"] == "minhash"  # pin untouched
+    sids = {r["_sid"] for r in read_state(spark, idx).collect()}
+    assert sids == {2, 4}  # dead id 0 gone, one entry set per live row
+
+    # ingest continues against the rebuilt index, fence intact
+    st = dedup_ingest(spark, table, corpus.filter("doc_id = 5"), 2,
+                      "doc_id", "text", num_hashes=32, bands=16, threshold=0.6)
+    assert st.kept == 1
