@@ -313,7 +313,10 @@ def rebuild_ivf_index(spark: SparkSession, table: LakeTable, vec_col: str,
     the index, not per batch."""
     from docetl_spark.functions.incr_dedup import rebuild_band_index
 
-    _, centroids = _open_index(table)
+    idx, centroids = _open_index(table)
+    props = idx.snapshot().properties
+    params = _params(centroids, int(props["ivf.n-centroids"]), int(props["ivf.seed"]))
     cell_fn = _cell_expr_fn(centroids, vec_col, n_probe=1)
     return rebuild_band_index(spark, table, cell_fn, subdir=IVF_SUBDIR,
-                              conflict_retries=conflict_retries)
+                              conflict_retries=conflict_retries,
+                              expected_params=params, value_cols=[vec_col])

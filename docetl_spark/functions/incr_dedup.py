@@ -507,6 +507,93 @@ def dedup_ingest(
     )
 
 
+# ---------------------------------------------------------------------------
+# Sidecar-index maintenance (delete-heavy / update-heavy corpora)
+# ---------------------------------------------------------------------------
+
+def _live_ids(spark: SparkSession, table: LakeTable, snap) -> DataFrame:
+    """Live corpus ids as a (_sid) frame, computed NARROWLY: only
+    (key, lsn, _deleted) ever shuffle for the MOR LWW dedup — the
+    wide-rows-never-shuffle rule holds even when the corpus carries
+    deltas. Pinned to ``snap``'s version."""
+    from docetl_spark.cdc.merge import DELETED_COL, DELTA_PROP, dedup_last_writer
+
+    id_col = snap.key_cols[0]
+    df = table.read(spark, snap.version)
+    narrow = df.select(
+        *snap.key_cols, "lsn",
+        *([DELETED_COL] if DELETED_COL in df.columns else []),
+    )
+    if snap.properties.get(DELTA_PROP) == "true":
+        narrow = dedup_last_writer(narrow, snap.key_cols)
+    if DELETED_COL in narrow.columns:
+        narrow = narrow.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+    return narrow.select(F.col(id_col).alias("_sid")).distinct()
+
+
+def _index_maintenance(spark, table, subdir, make_entries, conflict_retries, op):
+    """Shared race-safe protocol for index maintenance that REMOVES or
+    REPLACES entries. The hazard: ingest commits index-first, so an id
+    can be indexed while its corpus row is still in flight (or pending
+    crash redelivery) — classifying it "dead" would permanently unindex
+    it (the index fence skips the redelivered append and the backfill
+    repair never fires because the index fence is not behind).
+
+    Protocol, per attempt:
+
+    1. PIN the index snapshot FIRST, then read the corpus snapshot.
+    2. Refuse while index_fence > corpus_fence — an ingest is mid-flight
+       or a crashed batch awaits redelivery; its ids are not yet live
+       and MUST NOT be pruned. Retried (the corpus commit usually lands
+       within the retry budget); raises if persistently ahead, telling
+       the operator to redeliver the crashed batch first. (index_fence
+       < corpus_fence is NORMAL: corpus-only commits — deletes — never
+       touch the index.)
+    3. Compute live ids pinned to that corpus snapshot, build the
+       replacement entries, commit against the PINNED index version:
+       any ingest that committed to the index meanwhile (always before
+       its corpus commit) raises CommitConflict and the whole attempt —
+       including the live-id set — recomputes.
+    """
+    import uuid
+
+    from docetl_spark.cdc.merge import DELTA_PROP
+    from docetl_spark.lake.table import CommitConflict
+
+    idx = LakeTable(band_index_path(table, subdir))
+    if not idx.exists():
+        return None
+    for attempt in range(conflict_retries + 1):
+        isnap = idx.snapshot()  # pin FIRST (step 1)
+        snap = table.snapshot()
+        idx_fence = int(isnap.properties.get(FENCE_PROP, "-1"))
+        corpus_fence = int(snap.properties.get(FENCE_PROP, "-1"))
+        if idx_fence > corpus_fence:  # step 2
+            if attempt >= conflict_retries:
+                raise RuntimeError(
+                    f"{op}: index fence {idx_fence} is ahead of corpus fence "
+                    f"{corpus_fence} — an ingest batch is in flight or crashed "
+                    "between its index and corpus commits; let it finish (or "
+                    "redeliver it) before running index maintenance"
+                )
+            continue
+        live = _live_ids(spark, table, snap)
+        entries = make_entries(idx, isnap, snap, live)
+        tag = f"{op}{isnap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+        new_files = idx.write_bucket_files(entries, isnap, tag, repartition=True)
+        try:
+            return idx.commit(  # step 3: pinned to OUR isnap
+                new_files,
+                replaced_buckets=set(range(isnap.num_buckets)),
+                properties={DELTA_PROP: "false"},
+                summary={"operation": op, "buckets": isnap.num_buckets},
+                expected_version=isnap.version,
+            )
+        except CommitConflict:
+            if attempt >= conflict_retries:
+                raise
+
+
 def prune_index_orphans(
     spark: SparkSession,
     table: LakeTable,
@@ -514,61 +601,43 @@ def prune_index_orphans(
     conflict_retries: int = 3,
 ):
     """Maintenance: rewrite the banded index dropping entries whose doc id
-    is no longer LIVE in the corpus (tombstoned deletes, or phantoms from
-    a crashed never-redelivered batch).
+    is no longer LIVE in the corpus (tombstoned deletes).
 
     Orphan entries are read-CORRECT forever — blocking candidates verify
     against live corpus state, so a deleted doc never resurfaces in dedup
     decisions or stored-kNN results — but on a delete-heavy corpus they
     bloat every candidate set and index read without bound. This prune is
-    a FILTERED compaction of the index sidecar: one pass over the index
-    (every bucket rewrites), semi-joined against the corpus's narrow live
-    key column, committed atomically with the same conflict-retry loop as
-    ``compact_state`` (an ingest racing the prune wins the version race;
-    the prune re-runs against the fresh snapshot). The index fence and
-    pinned parameters are untouched — ingest continues unmodified after.
+    a FILTERED COMPACTION of the index sidecar: one pass over the narrow
+    (two-long) index rows, semi-joined against the corpus's live key
+    column, every bucket replaced in one atomic commit. Concurrency and
+    crash safety follow the ``_index_maintenance`` protocol: the commit
+    is pinned to the index snapshot read before the live-id set (a racing
+    ingest conflicts and the attempt recomputes), and ids of an
+    in-flight or crash-pending batch are never classified dead (the
+    index-fence-ahead refusal). The index fence and pinned parameters
+    are untouched — ingest continues unmodified after.
 
-    Index rows are two longs, so the _sid-keyed semi-join shuffle is tiny
-    relative to any corpus operation; run it on the same cadence as
-    corpus compaction when the workload deletes at all. Works for every
-    band-index sidecar: the dedup index (default) and the IVF index
-    (``subdir=ann_index.IVF_SUBDIR``).
+    Run it on the corpus-compaction cadence when the workload deletes at
+    all. Works for every band-index sidecar: the dedup index (default)
+    and the IVF index (``subdir=ann_index.IVF_SUBDIR``).
 
-    Scope: this prunes DEAD-ID orphans only. A re-ingested id whose
-    content moved bands/cells leaves STALE entries under its old bands —
-    the id is still live, so they survive this prune. They too are
-    read-harmless (verification scores live content) and bounded by the
-    update rate; reclaiming them needs a band recomputation over the
-    live corpus — the O(corpus) backfill path, not a filtered
-    compaction — so heavily re-embedded corpora should periodically
-    rebuild instead (delete the sidecar dir; next ingest backfills).
+    Scope: DEAD-ID orphans only. A re-ingested id whose content moved
+    bands/cells leaves STALE entries under its old bands — the id is
+    still live, so they survive this prune. They too are read-harmless
+    (verification scores live content) and bounded by the update rate;
+    reclaim them with ``rebuild_band_index`` / ``ann_index.
+    rebuild_ivf_index`` — the pin-preserving O(corpus) full refresh.
     """
     from docetl_spark.cdc.merge import DELTA_PROP, dedup_last_writer
-    from docetl_spark.cdc.replay import read_state
-    from docetl_spark.lake.table import CommitConflict
 
-    idx = LakeTable(band_index_path(table, subdir))
-    if not idx.exists():
-        return None
-    id_col = table.snapshot().key_cols[0]
-    live = read_state(spark, table).select(F.col(id_col).alias("_sid")).distinct()
-    for attempt in range(conflict_retries + 1):
-        isnap = idx.snapshot()
-        has_deltas = isnap.properties.get(DELTA_PROP) == "true"
+    def make_entries(idx, isnap, snap, live):
+        cur = idx.read(spark, isnap.version)
+        if isnap.properties.get(DELTA_PROP) == "true":
+            cur = dedup_last_writer(cur, isnap.key_cols)
+        return cur.join(live, "_sid", "left_semi")
 
-        def transform(df):
-            if has_deltas:
-                df = dedup_last_writer(df, isnap.key_cols)
-            return df.join(live, "_sid", "left_semi")
-
-        try:
-            return idx.compact(
-                spark, min_files=1, transform=transform,
-                properties={DELTA_PROP: "false"} if has_deltas else None,
-            )
-        except CommitConflict:
-            if attempt >= conflict_retries:
-                raise
+    return _index_maintenance(spark, table, subdir, make_entries,
+                              conflict_retries, op="prune")
 
 
 def rebuild_band_index(
@@ -577,40 +646,58 @@ def rebuild_band_index(
     band_expr_fn,
     subdir: str = IDX_SUBDIR,
     conflict_retries: int = 3,
+    expected_params: dict | None = None,
+    value_cols: list[str] | None = None,
 ):
     """Maintenance: atomically replace the index sidecar's CONTENTS with
     fresh (band, id) entries computed from every LIVE corpus row, keeping
     the index table, its pinned parameters and its fence untouched.
 
-    This is the full-refresh counterpart of ``prune_index_orphans``: one
+    The full-refresh counterpart of ``prune_index_orphans``: one
     O(corpus) banding pass (the backfill cost, paid on demand) that
     reclaims BOTH dead-id orphans and the stale-band entries a
     re-ingested id leaves under its old bands — without the
     delete-the-dir rebuild that loses the pin (and for the IVF index
     would retrain centroids, silently changing every stored cell).
-    ``band_expr_fn`` must be built from the PINNED parameters (for IVF
-    use ``ann_index.rebuild_ivf_index``, which derives it from the pinned
-    centroids). Every bucket is replaced in ONE commit (readers on older
-    snapshots are unaffected; a racing ingest wins the version race and
-    the rebuild retries against the fresh snapshot)."""
-    import uuid
 
-    from docetl_spark.cdc.merge import DELETED_COL, DELTA_PROP
-    from docetl_spark.cdc.replay import read_state
-    from docetl_spark.lake.table import CommitConflict
+    ``band_expr_fn`` must be built from the PINNED parameters — pass
+    ``expected_params`` (the pin dict the fn was derived from) and the
+    rebuild fails loudly on mismatch instead of atomically replacing the
+    index with incomparable band values; ``rebuild_dedup_index`` and
+    ``ann_index.rebuild_ivf_index`` derive both from the pin for you.
+    ``value_cols``: the corpus columns the band fn actually reads (e.g.
+    the signature column) — given, only (keys, lsn, those, _deleted)
+    shuffle in the MOR LWW dedup instead of full wide rows.
 
-    idx = LakeTable(band_index_path(table, subdir))
-    if not idx.exists():
-        return None
-    snap = table.snapshot()
-    id_col = snap.key_cols[0]
-    live = read_state(spark, table)
-    for attempt in range(conflict_retries + 1):
-        isnap = idx.snapshot()
+    Concurrency/crash safety: the ``_index_maintenance`` protocol (see
+    its docstring — pinned-snapshot commit + index-fence-ahead refusal).
+    """
+    from docetl_spark.cdc.merge import DELETED_COL, DELTA_PROP, dedup_last_writer
+
+    def make_entries(idx, isnap, snap, live):
+        if expected_params is not None:
+            got = {k: isnap.properties.get(k) for k in expected_params}
+            if got != expected_params:
+                raise ValueError(
+                    f"band index at {idx.path} is pinned with {got}, rebuild "
+                    f"called with {expected_params} — derive band_expr_fn "
+                    "from the pinned parameters"
+                )
+        id_col = snap.key_cols[0]
+        src = table.read(spark, snap.version)
+        if value_cols is not None:
+            src = src.select(
+                *snap.key_cols, "lsn", *value_cols,
+                *([DELETED_COL] if DELETED_COL in src.columns else []),
+            )
+        if snap.properties.get(DELTA_PROP) == "true":
+            src = dedup_last_writer(src, snap.key_cols)
+        if DELETED_COL in src.columns:
+            src = src.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         fence = int(isnap.properties.get(FENCE_PROP, "-1"))
-        entries = (
-            live.select(
-                F.explode(band_expr_fn(live)).alias("_band"),
+        return (
+            src.select(
+                F.explode(band_expr_fn(src)).alias("_band"),
                 F.col(id_col).alias("_sid"),
             )
             .distinct()
@@ -620,16 +707,45 @@ def rebuild_band_index(
                 F.lit(False).alias(DELETED_COL),
             )
         )
-        tag = f"reindex{isnap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
-        new_files = idx.write_bucket_files(entries, isnap, tag, repartition=True)
-        try:
-            return idx.commit(
-                new_files,
-                replaced_buckets=set(range(isnap.num_buckets)),
-                properties={DELTA_PROP: "false"},
-                summary={"operation": "reindex", "buckets": isnap.num_buckets},
-                expected_version=isnap.version,
-            )
-        except CommitConflict:
-            if attempt >= conflict_retries:
-                raise
+
+    return _index_maintenance(spark, table, subdir, make_entries,
+                              conflict_retries, op="reindex")
+
+
+def rebuild_dedup_index(
+    spark: SparkSession,
+    table: LakeTable,
+    embedding_col: str | None = None,
+    conflict_retries: int = 3,
+):
+    """``rebuild_band_index`` with everything derived from the index's
+    OWN pinned parameters — the misuse-proof face. The band function
+    comes from the SAME strategy constructors the ingest uses (banding
+    parity by construction, never a hand-copied formula). The minhash
+    method bands the stored signature column (no caller input needed);
+    the embedding method needs the corpus's embedding column name (the
+    one thing not pinned)."""
+    idx = LakeTable(band_index_path(table))
+    if not idx.exists():
+        return None
+    props = idx.snapshot().properties
+    method = props.get("dedup.method")
+    id_col = table.snapshot().key_cols[0]
+    if method == "minhash":
+        nh, bands = int(props["dedup.num-hashes"]), int(props["dedup.bands"])
+        shn = int(props["dedup.shingle-n"])
+        _, band_fn, _, params = _minhash_strategy(id_col, None, nh, bands, shn, 0.0)
+        cols = [SIG_COL]
+    elif method == "embedding":
+        if not embedding_col:
+            raise ValueError("rebuild_dedup_index(method=embedding) needs embedding_col")
+        dim, planes = int(props["dedup.dim"]), int(props["dedup.planes"])
+        ntab, seed = int(props["dedup.tables"]), int(props["dedup.seed"])
+        _, band_fn, _, params = _embedding_strategy(
+            id_col, embedding_col, dim, planes, ntab, seed, 0.0
+        )
+        cols = [embedding_col]
+    else:
+        raise ValueError(f"unknown pinned dedup.method {method!r} at {idx.path}")
+    return rebuild_band_index(spark, table, band_fn, conflict_retries=conflict_retries,
+                              expected_params=params, value_cols=cols)

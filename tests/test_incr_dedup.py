@@ -375,9 +375,8 @@ def test_rebuild_band_index_dedup_face(spark, tmp_path, corpus):
     signatures under the pinned banding params — reclaiming dead-id
     orphans AND stale bands in one atomic full replacement."""
     from docetl_spark.cdc.merge import merge_apply
-    from docetl_spark.functions.dedup import band_buckets
     from docetl_spark.functions.incr_dedup import (
-        SIG_COL, band_index_path, rebuild_band_index,
+        band_index_path, rebuild_dedup_index,
     )
     from docetl_spark.lake.table import LakeTable
 
@@ -391,9 +390,8 @@ def test_rebuild_band_index_dedup_face(spark, tmp_path, corpus):
 
     idx = LakeTable(band_index_path(table))
     v0 = idx.snapshot().version
-    # band fn over STORED rows (signatures live in the corpus), same
-    # pinned params the ingest used — mirrors the backfill contract
-    rebuild_band_index(spark, table, lambda frame: band_buckets(SIG_COL, 32, 16))
+    # the misuse-proof face: band fn + params derived from the PIN
+    rebuild_dedup_index(spark, table)
     isnap = idx.snapshot()
     assert isnap.version == v0 + 1
     assert isnap.properties["dedup.method"] == "minhash"  # pin untouched
@@ -404,3 +402,65 @@ def test_rebuild_band_index_dedup_face(spark, tmp_path, corpus):
     st = dedup_ingest(spark, table, corpus.filter("doc_id = 5"), 2,
                       "doc_id", "text", num_hashes=32, bands=16, threshold=0.6)
     assert st.kept == 1
+
+
+def test_maintenance_refuses_during_crash_window(spark, tmp_path, corpus, monkeypatch):
+    """Index maintenance must NOT classify a crash-pending batch's ids as
+    dead: its index entries exist but its corpus rows don't (index
+    commits first). Pruning them would break the redelivery contract —
+    the redelivered index merge is fenced out, so the entries would
+    never come back. The index-fence-ahead refusal blocks exactly this
+    window; after redelivery the prune proceeds."""
+    import docetl_spark.functions.incr_dedup as mod
+    from docetl_spark.functions.incr_dedup import (
+        band_index_path, prune_index_orphans,
+    )
+    from docetl_spark.lake.table import LakeTable
+
+    tbl = create_cdc_table(str(tmp_path / "t"), ["doc_id"], num_buckets=4,
+                           key_types={"doc_id": "int"})
+    dedup_ingest(spark, tbl, corpus.filter(F.col("doc_id") < 2), 0, "doc_id", "text",
+                 num_hashes=32, bands=16, threshold=0.6)
+
+    real_merge = mod.merge_apply
+
+    def crashing_merge(spark_, table_, changes, batch_id, **kw):
+        if table_.path == tbl.path and batch_id == 1:
+            raise RuntimeError("injected crash before corpus commit")
+        return real_merge(spark_, table_, changes, batch_id, **kw)
+
+    monkeypatch.setattr(mod, "merge_apply", crashing_merge)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dedup_ingest(spark, tbl, corpus.filter(F.col("doc_id") >= 2), 1, "doc_id", "text",
+                     num_hashes=32, bands=16, threshold=0.6)
+    monkeypatch.setattr(mod, "merge_apply", real_merge)
+
+    # crash window: index fence 1 > corpus fence 0 -> maintenance refuses
+    idx = LakeTable(band_index_path(tbl))
+    phantom = idx.read(spark).select("_sid").distinct().count()
+    with pytest.raises(RuntimeError, match="ahead of corpus fence"):
+        prune_index_orphans(spark, tbl, conflict_retries=1)
+    assert idx.read(spark).select("_sid").distinct().count() == phantom  # untouched
+
+    # redeliver, then maintenance is allowed and index matches live ids
+    dedup_ingest(spark, tbl, corpus.filter(F.col("doc_id") >= 2), 1, "doc_id", "text",
+                 num_hashes=32, bands=16, threshold=0.6)
+    assert prune_index_orphans(spark, tbl) is not None
+    live = {r["doc_id"] for r in read_state(spark, tbl).collect()}
+    assert {r["_sid"] for r in read_state(spark, idx).collect()} == live
+
+
+def test_rebuild_band_index_param_mismatch_fails_loudly(spark, tmp_path, corpus):
+    from docetl_spark.functions.dedup import band_buckets
+    from docetl_spark.functions.incr_dedup import SIG_COL, rebuild_band_index
+
+    table = create_cdc_table(str(tmp_path / "t"), ["doc_id"], num_buckets=4,
+                             key_types={"doc_id": "int"})
+    dedup_ingest(spark, table, corpus.filter("doc_id in (0, 2)"), 0, "doc_id",
+                 "text", num_hashes=32, bands=16, threshold=0.6)
+    with pytest.raises(ValueError, match="pinned with"):
+        rebuild_band_index(
+            spark, table, lambda frame: band_buckets(SIG_COL, 64, 32),
+            expected_params={"dedup.method": "minhash", "dedup.num-hashes": "64",
+                             "dedup.bands": "32", "dedup.shingle-n": "3"},
+        )
