@@ -106,6 +106,128 @@ WHERE event_type <> 'error'
 """
 
 
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read of a MOR ingest (``cdc/changes.py``): each
+    commit's delta files ARE the feed, so incremental consumers read
+    O(changes) bytes — never the table. One commit per 2000-LSN batch;
+    the feed's per-commit winners are checked row-for-row against the
+    per-batch LWW recomputed closed-form in DuckDB."""
+    from docetl_spark.cdc import create_cdc_table, read_changes, replay_events
+
+    events = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="cdc_feed_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["user_id"], num_buckets=16)
+    replay_events(spark, table, _events_as_changes(events, batch_size=2000), mode="mor")
+
+    feed = read_changes(spark, table, since_version=1)
+    vmap = [
+        (h["version"], int(h["summary"]["batch_id"]))
+        for h in table.history()
+        if h["operation"] == "merge"
+    ]
+    vdf = spark.createDataFrame(vmap, "version long, batch_id long")
+    return (
+        feed.join(F.broadcast(vdf), feed["_commit_version"] == vdf["version"])
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("lsn"),
+            F.col("_change_type").alias("change_type"),
+            F.col("batch_id"),
+            F.col("event_type"),
+            F.round(F.col("value"), 2).alias("value_r"),
+            F.col("props"),
+        )
+    )
+
+
+ORACLE_CDC_FEED = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_id AS lsn,
+       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS change_type,
+       CAST(floor(event_id / 2000) AS BIGINT) AS batch_id,
+       event_type,
+       round(value, 2) AS value_r,
+       props
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY CAST(floor(event_id / 2000) AS BIGINT), user_id
+  ORDER BY event_id DESC) = 1
+"""
+
+
+def q_cdc_feed_net_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side net view of a feed slice: changes between the commits
+    of batch 1 and batch 3, LWW-collapsed per key with deletes still
+    visible — the 'what changed while I was away' query a lagging
+    downstream runs before applying."""
+    from docetl_spark.cdc import create_cdc_table, dedup_last_writer, read_changes, replay_events
+    from docetl_spark.cdc.changes import CHANGE_TYPE_COL, COMMIT_TS_COL, COMMIT_VERSION_COL
+
+    events = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="cdc_feed_slice_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["user_id"], num_buckets=16)
+    replay_events(spark, table, _events_as_changes(events, batch_size=2000), mode="mor")
+
+    v_by_batch = {
+        int(h["summary"]["batch_id"]): h["version"]
+        for h in table.history()
+        if h["operation"] == "merge"
+    }
+    feed = read_changes(spark, table, since_version=v_by_batch[1], to_version=v_by_batch[3])
+    net = dedup_last_writer(
+        feed.drop(COMMIT_VERSION_COL, COMMIT_TS_COL, "_deleted"), ["user_id"]
+    )
+    return net.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("lsn"),
+        F.col(CHANGE_TYPE_COL).alias("change_type"),
+        F.col("event_type"),
+    )
+
+
+ORACLE_CDC_FEED_SLICE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_id AS lsn,
+       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS change_type,
+       event_type
+FROM events
+WHERE CAST(floor(event_id / 2000) AS BIGINT) BETWEEN 2 AND 3
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+"""
+
+
+def q_cdc_replica_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-to-lake replication: a copy-on-write source written with the
+    changelog sidecar, followed by a replica maintained ONLY from
+    ``read_changes`` (``replicate``). Two hops (bounded, then unbounded)
+    exercise the fence-as-cursor resume; the replica's final state must
+    equal the source oracle exactly — the end-to-end proof that the feed
+    carries every change once."""
+    from docetl_spark.cdc import create_cdc_table, read_state, replay_events, replicate
+
+    events = _t(spark, sf_dir, "events")
+    src_path = tempfile.mkdtemp(prefix="cdc_repl_src_")
+    dst_path = tempfile.mkdtemp(prefix="cdc_repl_dst_")
+    shutil.rmtree(src_path, ignore_errors=True)
+    shutil.rmtree(dst_path, ignore_errors=True)
+    src = create_cdc_table(src_path, ["user_id"], num_buckets=16)
+    replay_events(spark, src, _events_as_changes(events, batch_size=2000), changelog=True)
+
+    dst = create_cdc_table(dst_path, ["user_id"], num_buckets=8)
+    replicate(spark, src, dst, to_version=min(3, src.current_version()))  # lagging follower...
+    replicate(spark, src, dst)  # ...catches up from its fence
+    state = read_state(spark, dst)
+    return state.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 2).alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_merge_lww(spark, "/root/testdata/sf0.001")
@@ -1985,6 +2107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merge_lww": q_cdc_merge_lww,
         "cdc_merge_lww_ungrouped": q_cdc_merge_lww_ungrouped,
+        "cdc_change_feed": q_cdc_change_feed,
+        "cdc_feed_net_slice": q_cdc_feed_net_slice,
+        "cdc_replica_from_feed": q_cdc_replica_from_feed,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2045,6 +2170,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_merge_lww": ORACLE_CDC,
         "cdc_merge_lww_ungrouped": ORACLE_CDC,
+        "cdc_change_feed": ORACLE_CDC_FEED,
+        "cdc_feed_net_slice": ORACLE_CDC_FEED_SLICE,
+        "cdc_replica_from_feed": ORACLE_CDC,
         "tpch_q1": ORACLE_Q1,
         "tpch_q3_top10": ORACLE_Q3,
         "revenue_by_nation": ORACLE_NATION,

@@ -39,6 +39,8 @@ The reference's analogue is in-memory ``{**item, **output}`` row merging
 
 from __future__ import annotations
 
+import glob
+import os
 import time
 import uuid
 from dataclasses import dataclass, field, asdict
@@ -243,8 +245,16 @@ def merge_apply(
     mode: str = "cow",
     conflict_retries: int = 0,
     precomputed: PrecomputedStats | None = None,
+    changelog: bool = False,
 ) -> MergeMetrics:
     """Apply one microbatch of change events to ``table``.
+
+    ``changelog=True`` makes a COPY-ON-WRITE commit change-readable
+    (``cdc.changes.read_changes``): the winner frame is persisted once as
+    a per-commit sidecar and then *reused* as the winners source for the
+    bucket write, so the winner plan still executes exactly once — the
+    cost is one extra O(batch) write, never a re-derivation. MOR commits
+    ignore the flag: their delta files already ARE the changelog.
 
     ``conflict_retries``: when a CONCURRENT writer (another stream, a
     maintenance compact/rebucket) wins the version race, re-run the whole
@@ -260,6 +270,7 @@ def merge_apply(
                 spark, table, batch, batch_id, stages=stages, fence_prop=fence_prop,
                 broadcast_key_limit=broadcast_key_limit, strict_lww_ties=strict_lww_ties,
                 winner_stages=winner_stages, mode=mode, precomputed=precomputed,
+                changelog=changelog,
             )
         except CommitConflict:
             if attempt >= conflict_retries:
@@ -280,6 +291,7 @@ def _merge_apply_once(
     winner_stages: Iterable[TransformStage] = (),
     mode: str = "cow",
     precomputed: PrecomputedStats | None = None,
+    changelog: bool = False,
 ) -> MergeMetrics:
     """One merge attempt (see ``merge_apply``).
 
@@ -463,6 +475,25 @@ def _merge_apply_once(
         winners = _winner_staged(winners)
         winners = _align(winners.withColumn(DELETED_COL, F.col("op") == F.lit("D")), evolved)
 
+        # Change-data-feed sidecar (CoW only): persist the winners ONCE,
+        # then read them back as the source for the bucket write below —
+        # the winner plan executes a single time, and the sidecar paths
+        # ride the commit summary so read_changes can serve row-level
+        # changes from this rewrite commit. Orphaned sidecars (a losing
+        # commit race) are unreferenced and reclaimed by vacuum.
+        chlog_files: list[str] | None = None
+        if changelog and not is_mor:
+            chdir = os.path.join(table.data_dir, f"chlog{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}")
+            winners.write.parquet(chdir)
+            chlog_files = sorted(
+                os.path.relpath(p, table.path)
+                for p in glob.glob(os.path.join(chdir, "*.parquet"))
+            )
+            if chlog_files:
+                winners = spark.read.schema(evolved).parquet(
+                    *[os.path.join(table.path, f) for f in chlog_files]
+                )
+
         # One write job: the survivors branch (if any) streams
         # file-aligned (no shuffle), only the winners branch repartitions.
         bexpr = table.bucket_expr(snap_for_bucket)
@@ -477,13 +508,16 @@ def _merge_apply_once(
         props = {fence_prop: str(batch_id)}
         if is_mor:
             props[DELTA_PROP] = "true"
+        summary = {"operation": "merge", "mode": mode, **metrics.to_dict()}
+        if chlog_files is not None:
+            summary["changelog"] = chlog_files
         try:
             new_snap = table.commit(
                 new_files,
                 replaced_buckets=set() if is_mor else set(affected),
                 schema=evolved,
                 properties=props,
-                summary={"operation": "merge", "mode": mode, **metrics.to_dict()},
+                summary=summary,
                 expected_version=snap.version,
             )
         except CommitConflict:

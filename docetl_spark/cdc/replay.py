@@ -165,6 +165,7 @@ def replay_events(
     mode: str = "cow",
     compact_every: int | None = None,
     coalesce_batches: int | None = None,
+    changelog: bool = False,
 ) -> list[MergeMetrics]:
     """Replay ``events`` batch by batch in ascending ``batch_col`` order.
 
@@ -250,7 +251,7 @@ def replay_events(
                 fut = None
             m = merge_apply(spark, table, batch_df(group), bid,
                             stages=stages, winner_stages=winner_stages, mode=mode,
-                            precomputed=pre)
+                            precomputed=pre, changelog=changelog)
             out.append(m)
             if metrics_path:
                 os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)

@@ -362,12 +362,20 @@ class LakeTable:
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data files unreferenced by the newest ``keep_versions``
-        snapshots, and prune old metadata. Returns files removed."""
+        snapshots, and prune old metadata. Returns files removed.
+
+        ``keep_versions`` is also the change-data-feed retention window
+        (``cdc.changes.read_changes``): retained snapshots keep their
+        changelog sidecars and delta files readable; consumers lagging
+        further than the window lose incremental access, exactly the
+        Delta-CDF retention contract."""
         vs = self._versions()
         keep = set(vs[-keep_versions:])
         live: set[str] = set()
         for v in keep:
-            live.update(self.snapshot(v).all_files)
+            snap = self.snapshot(v)
+            live.update(snap.all_files)
+            live.update(snap.summary.get("changelog") or [])
         removed = 0
         for p in glob.glob(os.path.join(self.data_dir, "**", "*.parquet"), recursive=True):
             if os.path.relpath(p, self.path) not in live:
