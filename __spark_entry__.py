@@ -228,6 +228,41 @@ def q_cdc_replica_from_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_state_since_lsn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping state read (``lake/table.py pruned_files``): 'keys
+    whose current version has lsn >= X' on a MOR table scans only files
+    whose footer-recorded lsn bounds reach X (here the last of five batches) — lower-bounded pruning
+    commutes with read-time LWW (see read_state docstring), so the result
+    is exact while old delta files are never opened."""
+    from docetl_spark.cdc import create_cdc_table, read_state, replay_events
+
+    events = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="cdc_since_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["user_id"], num_buckets=16)
+    replay_events(spark, table, _events_as_changes(events, batch_size=2000), mode="mor")
+    state = read_state(spark, table, lsn_min=9900)
+    return state.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.round(F.col("value"), 2).alias("last_value"),
+    )
+
+
+ORACLE_CDC_SINCE = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_id AS last_lsn,
+       event_type AS last_event_type,
+       round(value, 2) AS last_value
+FROM (
+  SELECT * FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+)
+WHERE event_type <> 'error' AND event_id >= 9900
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_merge_lww(spark, "/root/testdata/sf0.001")
@@ -2110,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_feed_net_slice": q_cdc_feed_net_slice,
         "cdc_replica_from_feed": q_cdc_replica_from_feed,
+        "cdc_state_since_lsn": q_cdc_state_since_lsn,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2173,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_feed": ORACLE_CDC_FEED,
         "cdc_feed_net_slice": ORACLE_CDC_FEED_SLICE,
         "cdc_replica_from_feed": ORACLE_CDC,
+        "cdc_state_since_lsn": ORACLE_CDC_SINCE,
         "tpch_q1": ORACLE_Q1,
         "tpch_q3_top10": ORACLE_Q3,
         "revenue_by_nation": ORACLE_NATION,

@@ -32,6 +32,7 @@ from docetl_spark.lake.table import LakeTable
 def create_cdc_table(
     path: str, key_cols: list[str], num_buckets: int = 16,
     key_types: dict[str, str] | None = None,
+    stats_cols: tuple[str, ...] | None = ("lsn",),
 ) -> LakeTable:
     """Create an empty CDC target table: key columns + LWW system columns.
 
@@ -41,6 +42,10 @@ def create_cdc_table(
     ``key_types`` (type-spec strings, e.g. ``{"doc_id": "int"}``) for
     non-string keys — key types do NOT evolve (widening a key would change
     its hash and therefore its bucket).
+
+    ``stats_cols`` (default: lsn) records per-file column bounds at every
+    commit, enabling the file-skipping read of ``read_state(lsn_min=...)``
+    — "keys touched since LSN X" scans O(recent files), not the table.
     """
     from docetl_spark.schema import parse_type
 
@@ -49,19 +54,35 @@ def create_cdc_table(
         T.StructField(k, parse_type(key_types.get(k, "string")), False) for k in key_cols
     ]
     fields += [T.StructField("lsn", T.LongType(), True), T.StructField(DELETED_COL, T.BooleanType(), True)]
-    return LakeTable.create(path, T.StructType(fields), key_cols, num_buckets=num_buckets)
+    return LakeTable.create(path, T.StructType(fields), key_cols, num_buckets=num_buckets,
+                            stats_cols=list(stats_cols) if stats_cols else None)
 
 
-def read_state(spark: SparkSession, table: LakeTable, version: int | None = None) -> DataFrame:
+def read_state(spark: SparkSession, table: LakeTable, version: int | None = None,
+               lsn_min: int | None = None) -> DataFrame:
     """Live (non-tombstoned) rows of a CDC table.
 
     When the snapshot carries merge-on-read deltas (``cdc.has-deltas``),
     the read resolves LWW per key first — the MOR read path. Run
-    ``compact_state`` to fold deltas and make reads cheap again."""
+    ``compact_state`` to fold deltas and make reads cheap again.
+
+    ``lsn_min`` — "keys whose CURRENT version has lsn >= X" — uses the
+    per-file lsn bounds to skip files entirely below X before scanning.
+    Lower-bound skipping commutes with read-time LWW: a skipped file
+    holds only rows that either lose to a kept row (the key's winner has
+    lsn >= X, and its file is kept) or belong to keys the post-dedup
+    filter drops anyway — so the filter below runs AFTER dedup and the
+    result is exact. Upper bounds would not commute (pruning a winner's
+    file would resurrect a stale row), so only the lower bound prunes."""
     snap = table.snapshot(version)
-    df = table.read(spark, version)
+    if lsn_min is not None:
+        df = table.read_pruned(spark, {"lsn": (lsn_min, None)}, snap=snap, lower_only=True)
+    else:
+        df = table.read(spark, version)
     if snap.properties.get(DELTA_PROP) == "true":
         df = dedup_last_writer(df, snap.key_cols)
+    if lsn_min is not None:
+        df = df.filter(F.col("lsn") >= lsn_min)
     if DELETED_COL in df.columns:
         df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
     return df

@@ -41,7 +41,7 @@ import re
 import shutil
 import time
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,6 +69,12 @@ class Snapshot:
     # to its hashed buckets (e.g. the banded dedup index keyed
     # (_bucket, _sid) but bucketed on _bucket only).
     bucket_cols: list[str] | None = None
+    # file skipping (Iceberg manifest column-bounds analogue): columns to
+    # track per-file min/max for, and {relpath: {col: [min, max]}} read
+    # from parquet footers at commit time. Files with no recorded stats
+    # are never pruned (older files stay safe after enabling stats).
+    stats_cols: list[str] | None = None
+    file_stats: dict = field(default_factory=dict)
 
     @property
     def all_files(self) -> list[str]:
@@ -94,6 +100,7 @@ class LakeTable:
         num_buckets: int = 16,
         properties: dict[str, str] | None = None,
         bucket_cols: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(path)
         if t.exists():
@@ -115,6 +122,8 @@ class LakeTable:
             properties=dict(properties or {}),
             summary={"operation": "create"},
             bucket_cols=list(bucket_cols) if bucket_cols else None,
+            stats_cols=list(stats_cols) if stats_cols else None,
+            file_stats={},
         )
         return t
 
@@ -151,6 +160,8 @@ class LakeTable:
             summary=m.get("summary", {}),
             timestamp_ms=m.get("timestamp_ms", 0),
             bucket_cols=m.get("bucket_cols"),
+            stats_cols=m.get("stats_cols"),
+            file_stats=m.get("file_stats", {}),
         )
 
     # -- read ----------------------------------------------------------------
@@ -173,6 +184,101 @@ class LakeTable:
         if not paths:
             return spark.createDataFrame([], snap.schema)
         return spark.read.schema(snap.schema).parquet(*paths)
+
+    # -- file skipping ---------------------------------------------------------
+
+    def pruned_files(
+        self, snap: Snapshot, ranges: dict, lower_only: bool = False
+    ) -> tuple[list[str], int]:
+        """Live files that MAY hold rows satisfying every ``{col: (lo, hi)}``
+        range (either bound may be None), plus how many files were skipped.
+
+        Uses the per-file column bounds recorded at commit time; a file
+        with no recorded stats for a column is conservatively kept, so
+        pruning is always sound for a scan the caller post-filters.
+        ``lower_only`` ignores the upper bounds — the sound mode for
+        LWW-resolved (MOR) reads on the order column: a file skipped for
+        ``max(col) < lo`` holds only rows that either lose LWW to a kept
+        row or belong to keys the post-dedup ``col >= lo`` filter drops
+        anyway, whereas an upper-bound skip could delete a key's true
+        winner and resurrect a stale row."""
+        keep: list[str] = []
+        skipped = 0
+        for f in snap.all_files:
+            st = snap.file_stats.get(f) or {}
+            drop = False
+            for c, (lo, hi) in ranges.items():
+                b = st.get(c)
+                if not b or b[0] is None or b[1] is None:
+                    continue
+                if (lo is not None and b[1] < lo) or (
+                    not lower_only and hi is not None and b[0] > hi
+                ):
+                    drop = True
+                    break
+            if drop:
+                skipped += 1
+            else:
+                keep.append(f)
+        return keep, skipped
+
+    def read_pruned(
+        self, spark: SparkSession, ranges: dict, snap: Snapshot | None = None,
+        lower_only: bool = False,
+    ) -> DataFrame:
+        """File-skipping scan: read only files intersecting ``ranges`` AND
+        apply the residual row filter. On a table holding one version per
+        key this is the complete range query; on a delta-carrying table
+        the caller owns MOR semantics (see ``cdc.replay.read_state``,
+        which passes ``lower_only`` and filters after LWW)."""
+        snap = snap or self.snapshot()
+        keep, _ = self.pruned_files(snap, ranges, lower_only=lower_only)
+        paths = [os.path.join(self.path, f) for f in keep]
+        if not paths:
+            return spark.createDataFrame([], snap.schema)
+        df = spark.read.schema(snap.schema).parquet(*paths)
+        if not lower_only:
+            for c, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(c) <= hi)
+        return df
+
+    def _collect_file_stats(self, rel_paths: list[str], stats_cols: list[str]) -> dict:
+        """Per-file column bounds from parquet FOOTERS (metadata-only read,
+        ~ms/file at commit time — the cost every lake format's manifest
+        write pays). Values must round-trip JSON: ints, floats and strings
+        are recorded; anything else (or a missing/untyped stat) leaves the
+        column unrecorded so the file is never pruned on it."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for rel in rel_paths:
+            md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+            bounds: dict = {}
+            for ci in range(md.num_columns):
+                name = md.row_group(0).column(ci).path_in_schema if md.num_row_groups else None
+                if name not in stats_cols:
+                    continue
+                mn = mx = None
+                ok = md.num_row_groups > 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo, hi = st.min, st.max
+                    if not isinstance(lo, (int, float, str)) or isinstance(lo, bool):
+                        ok = False
+                        break
+                    mn = lo if mn is None else min(mn, lo)
+                    mx = hi if mx is None else max(mx, hi)
+                if ok and mn is not None:
+                    bounds[name] = [mn, mx]
+            if bounds:
+                out[rel] = bounds
+        return out
 
     # -- write ---------------------------------------------------------------
 
@@ -244,6 +350,15 @@ class LakeTable:
             files[b] = fl if b in replaced_buckets else files[b] + fl
         props = dict(cur.properties)
         props.update(properties or {})
+        # file-skipping stats: carry bounds of surviving files, footer-read
+        # the new ones (centralized here so every writer — merge, compact,
+        # rebucket, index maintenance — gets manifest stats for free)
+        file_stats: dict = {}
+        if cur.stats_cols:
+            live = {f for fl in files.values() for f in fl}
+            file_stats = {f: s for f, s in cur.file_stats.items() if f in live}
+            new_paths = [f for fl in new_files_by_bucket.values() for f in fl]
+            file_stats.update(self._collect_file_stats(new_paths, cur.stats_cols))
         self._write_meta(
             version=cur.version + 1,
             schema=schema or cur.schema,
@@ -253,11 +368,13 @@ class LakeTable:
             properties=props,
             summary=summary or {},
             bucket_cols=cur.bucket_cols,
+            stats_cols=cur.stats_cols,
+            file_stats=file_stats,
         )
         return self.snapshot()
 
     def _write_meta(self, version, schema, num_buckets, key_cols, files, properties, summary,
-                    bucket_cols=None):
+                    bucket_cols=None, stats_cols=None, file_stats=None):
         meta = {
             "version": version,
             "schema": schema.jsonValue(),
@@ -270,6 +387,9 @@ class LakeTable:
         }
         if bucket_cols:
             meta["bucket_cols"] = list(bucket_cols)
+        if stats_cols:
+            meta["stats_cols"] = list(stats_cols)
+            meta["file_stats"] = file_stats or {}
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self.meta_dir, f"v{version:08d}.json")
         with open(tmp, "w") as f:
