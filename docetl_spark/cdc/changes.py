@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,6 +73,56 @@ _STATE_PRESERVING_REWRITES = {"compact", "rebucket", "widen-rewrite", "prune", "
 
 def changelog_tag(version: int) -> str:
     return f"chlog{version:08d}-{uuid.uuid4().hex[:8]}"
+
+
+@dataclass
+class ChangeSlice:
+    """One commit's contribution to the feed: which files to read and
+    under which (that version's) schema. Produced driver-side from
+    metadata only; consumed by ``read_changes`` and the ``lakefeed``
+    streaming source's partition planner."""
+
+    version: int
+    timestamp_ms: int
+    schema: T.StructType
+    files: list[str]  # paths relative to the table root
+
+
+def plan_changes(table: LakeTable, since_version: int, to_version: int) -> list[ChangeSlice]:
+    """Metadata-only planning of the change range (see ``read_changes``
+    for the per-commit-kind rules). Raises on an opaque rewrite."""
+    if since_version > to_version:
+        raise ValueError(f"since_version {since_version} is after to_version {to_version}")
+    out: list[ChangeSlice] = []
+    prev_files = set(table.snapshot(since_version).all_files)
+    for v in range(since_version + 1, to_version + 1):
+        snap = table.snapshot(v)
+        cur_files = set(snap.all_files)
+        added = sorted(cur_files - prev_files)
+        removed = prev_files - cur_files
+        prev_files = cur_files
+        chlog = snap.summary.get("changelog")
+        if chlog is not None:
+            if not chlog:  # e.g. a CoW batch whose every key lost LWW
+                continue
+            files = list(chlog)
+        elif removed:
+            op = snap.summary.get("operation")
+            if op in _STATE_PRESERVING_REWRITES:
+                continue
+            raise ValueError(
+                f"version {v} ({op or 'unknown'}) rewrote data files without a "
+                "changelog sidecar; copy-on-write merges are change-readable only "
+                "when written with merge_apply(..., changelog=True) — or run the "
+                "table in MOR mode, whose delta files are the changelog"
+            )
+        elif not added:
+            continue  # fence-only / metadata-only commit
+        else:
+            files = added
+        out.append(ChangeSlice(version=v, timestamp_ms=snap.timestamp_ms,
+                               schema=snap.schema, files=files))
+    return out
 
 
 def read_changes(
@@ -95,8 +146,6 @@ def read_changes(
     nothing shuffles. Filters on the result push into those scans.
     """
     end = to_version if to_version is not None else table.current_version()
-    if since_version > end:
-        raise ValueError(f"since_version {since_version} is after to_version {end}")
     end_schema = table.snapshot(end).schema
     is_delete = (
         F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -104,41 +153,15 @@ def read_changes(
         else F.lit(False)
     )
     parts: list[DataFrame] = []
-    prev_files = set(table.snapshot(since_version).all_files)
-    for v in range(since_version + 1, end + 1):
-        snap = table.snapshot(v)
-        cur_files = set(snap.all_files)
-        added = sorted(cur_files - prev_files)
-        removed = prev_files - cur_files
-        prev_files = cur_files
-        chlog = snap.summary.get("changelog")
-        if chlog is not None:
-            if not chlog:  # e.g. a CoW batch whose every key lost LWW
-                continue
-            src = spark.read.schema(snap.schema).parquet(
-                *[os.path.join(table.path, f) for f in chlog]
-            )
-        elif removed:
-            op = snap.summary.get("operation")
-            if op in _STATE_PRESERVING_REWRITES:
-                continue
-            raise ValueError(
-                f"version {v} ({op or 'unknown'}) rewrote data files without a "
-                "changelog sidecar; copy-on-write merges are change-readable only "
-                "when written with merge_apply(..., changelog=True) — or run the "
-                "table in MOR mode, whose delta files are the changelog"
-            )
-        elif not added:
-            continue  # fence-only / metadata-only commit
-        else:
-            src = spark.read.schema(snap.schema).parquet(
-                *[os.path.join(table.path, f) for f in added]
-            )
+    for sl in plan_changes(table, since_version, end):
+        src = spark.read.schema(sl.schema).parquet(
+            *[os.path.join(table.path, f) for f in sl.files]
+        )
         parts.append(
             _align(src, end_schema)
             .withColumn(CHANGE_TYPE_COL, F.when(is_delete, "delete").otherwise("upsert"))
-            .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long"))
-            .withColumn(COMMIT_TS_COL, F.lit(snap.timestamp_ms).cast("long"))
+            .withColumn(COMMIT_VERSION_COL, F.lit(sl.version).cast("long"))
+            .withColumn(COMMIT_TS_COL, F.lit(sl.timestamp_ms).cast("long"))
         )
     if not parts:
         empty = T.StructType(

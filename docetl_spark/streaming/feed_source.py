@@ -1,0 +1,206 @@
+"""``lakefeed`` — the change data feed as a registered Spark data source.
+
+Built on the PySpark 4 Python Data Source API, this makes a lake table a
+first-class STREAMING source (the Delta streaming-source analogue):
+
+    from docetl_spark.streaming import register_lakefeed
+    register_lakefeed(spark)
+    feed = (spark.readStream.format("lakefeed")
+            .option("path", table.path)
+            .option("startingVersion", 1)   # default: full history
+            .load())
+    # feed -> watermark/window aggregations, foreachBatch merge_apply, ...
+
+and a batch source for SQL-surface range reads:
+
+    spark.read.format("lakefeed").option("path", p)
+         .option("sinceVersion", 3).option("toVersion", 7).load()
+
+Semantics are identical to ``cdc.changes.read_changes`` — both run the
+same ``plan_changes`` planner, so MOR delta files serve the feed, CoW
+merges need the ``merge_apply(changelog=True)`` sidecar, and
+state-preserving rewrites contribute nothing.
+
+Streaming mechanics (exactly-once): the offset IS the table version —
+``latestOffset`` re-reads the (one small JSON) current version per
+trigger; ``partitions(start, end)`` plans one InputPartition per data
+file of the committed range, so a microbatch scales out to one task per
+file; ``read`` runs on executors, reading its single parquet file with
+pyarrow and aligning it to the query schema (Arrow-native: missing
+columns become typed nulls, widened numerics cast, the tombstone flag
+becomes ``_change_type``). Offsets live in the streaming checkpoint, and
+because snapshots are immutable the same offset range always replans the
+same files — a restarted query resumes precisely. The schema is fixed at
+query start (restart the stream to pick up in-flight column evolution —
+the Delta contract).
+
+The north-rule loop this closes: lake tables are now sources AND sinks
+for Structured Streaming, so engines chain —
+``readStream(lakefeed) -> transform -> stream_changes(foreachBatch
+merge_apply)`` is streaming lake-to-lake replication with both fences.
+
+Deployment note (spark-submit): the STREAMING planner runs in a separate
+Python worker that does not inherit ``--py-files`` — ship the package on
+``PYTHONPATH`` too (``PYTHONPATH=docetl_spark.zip spark-submit
+--py-files docetl_spark.zip job.py``; zipimport handles the rest). The
+batch reader and everything else work with ``--py-files`` alone.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, DataSourceStreamReader, InputPartition
+
+from docetl_spark.cdc.changes import (
+    CHANGE_TYPE_COL,
+    COMMIT_TS_COL,
+    COMMIT_VERSION_COL,
+    plan_changes,
+)
+from docetl_spark.cdc.merge import DELETED_COL
+from docetl_spark.lake.table import LakeTable
+
+FORMAT_NAME = "lakefeed"
+
+
+def feed_schema(table_schema: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(table_schema.fields)
+        + [
+            T.StructField(CHANGE_TYPE_COL, T.StringType(), False),
+            T.StructField(COMMIT_VERSION_COL, T.LongType(), False),
+            T.StructField(COMMIT_TS_COL, T.LongType(), False),
+        ]
+    )
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    """One parquet file of one committed change slice. Carries everything
+    ``read`` needs so executors never touch table metadata."""
+
+    path: str  # absolute file path
+    version: int
+    timestamp_ms: int
+    file_schema_json: str  # the slice's (that version's) table schema
+
+
+def _read_file_partition(part: _FilePartition, query_schema: T.StructType):
+    """Executor-side: one file -> aligned Arrow batches. Stateless."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    tbl = pq.read_table(part.path)
+    n = tbl.num_rows
+    target = to_arrow_schema(query_schema)
+    if DELETED_COL in tbl.column_names:
+        deleted = pc.fill_null(tbl[DELETED_COL].combine_chunks().cast(pa.bool_()), False)
+        change_type = pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
+    else:
+        change_type = pa.array(["upsert"] * n)
+    consts = {
+        CHANGE_TYPE_COL: change_type,
+        COMMIT_VERSION_COL: pa.array([part.version] * n, pa.int64()),
+        COMMIT_TS_COL: pa.array([part.timestamp_ms] * n, pa.int64()),
+    }
+    cols = []
+    for f in target:
+        if f.name in consts:
+            cols.append(consts[f.name].cast(f.type))
+        elif f.name in tbl.column_names:
+            cols.append(tbl[f.name].cast(f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))  # column added after this file
+    yield from pa.table(cols, schema=target).to_batches()
+
+
+def _plan_file_partitions(path: str, since: int, to: int) -> list[_FilePartition]:
+    table = LakeTable(path)
+    parts: list[_FilePartition] = []
+    for sl in plan_changes(table, since, to):
+        sjson = sl.schema.json()
+        for f in sl.files:
+            parts.append(
+                _FilePartition(
+                    path=os.path.join(path, f),
+                    version=sl.version,
+                    timestamp_ms=sl.timestamp_ms,
+                    file_schema_json=sjson,
+                )
+            )
+    return parts
+
+
+class LakeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        self._path = options["path"]
+        self._starting = int(options.get("startingVersion", options.get("startingversion", 1)))
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting}
+
+    def latestOffset(self) -> dict:
+        return {"version": LakeTable(self._path).current_version()}
+
+    def partitions(self, start: dict, end: dict):
+        if start["version"] >= end["version"]:
+            return []
+        return _plan_file_partitions(self._path, start["version"], end["version"])
+
+    def read(self, partition: _FilePartition):
+        return _read_file_partition(partition, self._schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the streaming checkpoint; snapshots are immutable
+
+
+class LakeFeedBatchReader(DataSourceReader):
+    def __init__(self, options: dict, schema: T.StructType):
+        self._path = options["path"]
+        table = LakeTable(self._path)
+        self._since = int(options.get("sinceVersion", options.get("sinceversion", 1)))
+        to = options.get("toVersion", options.get("toversion"))
+        self._to = int(to) if to is not None else table.current_version()
+        self._schema = schema
+
+    def partitions(self):
+        parts = _plan_file_partitions(self._path, self._since, self._to)
+        # batch reader contract: at least one partition
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if not isinstance(partition, _FilePartition):
+            return iter(())  # empty range
+        return _read_file_partition(partition, self._schema)
+
+
+class LakeFeedDataSource(DataSource):
+    """See module docstring. Options: ``path`` (table root, required);
+    streaming: ``startingVersion`` (default 1 = full history); batch:
+    ``sinceVersion`` / ``toVersion`` (read_changes bounds)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:
+        snap = LakeTable(self.options["path"]).snapshot()
+        return feed_schema(snap.schema)
+
+    def streamReader(self, schema: T.StructType) -> LakeFeedStreamReader:
+        return LakeFeedStreamReader(self.options, schema)
+
+    def reader(self, schema: T.StructType) -> LakeFeedBatchReader:
+        return LakeFeedBatchReader(self.options, schema)
+
+
+def register_lakefeed(spark: SparkSession) -> None:
+    """Register the ``lakefeed`` format on this session (idempotent)."""
+    spark.dataSource.register(LakeFeedDataSource)
