@@ -52,7 +52,7 @@ from __future__ import annotations
 
 import os
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -80,12 +80,16 @@ class ChangeSlice:
     """One commit's contribution to the feed: which files to read and
     under which (that version's) schema. Produced driver-side from
     metadata only; consumed by ``read_changes`` and the ``lakefeed``
-    streaming source's partition planner."""
+    source's partition planner. ``file_stats`` carries the snapshot's
+    per-file column bounds for the slice's files (empty for changelog
+    sidecars and stats-less tables) so pushed range predicates can skip
+    files at plan time."""
 
     version: int
     timestamp_ms: int
     schema: T.StructType
     files: list[str]  # paths relative to the table root
+    file_stats: dict = field(default_factory=dict)
 
 
 def plan_changes(table: LakeTable, since_version: int, to_version: int) -> list[ChangeSlice]:
@@ -120,8 +124,10 @@ def plan_changes(table: LakeTable, since_version: int, to_version: int) -> list[
             continue  # fence-only / metadata-only commit
         else:
             files = added
-        out.append(ChangeSlice(version=v, timestamp_ms=snap.timestamp_ms,
-                               schema=snap.schema, files=files))
+        out.append(ChangeSlice(
+            version=v, timestamp_ms=snap.timestamp_ms, schema=snap.schema, files=files,
+            file_stats={f: snap.file_stats[f] for f in files if f in snap.file_stats},
+        ))
     return out
 
 

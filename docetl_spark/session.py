@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Python data source pushdown (lakefeed's version/stats pruning).
+        # Spark REFUSES a reader that implements pushFilters while this is
+        # off, so the engine session enables it; foreign sessions use
+        # lakefeed without .option("pushdown", "true") and lose only the
+        # driver-side pruning, never correctness.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -120,12 +120,29 @@ def _read_file_partition(part: _FilePartition, query_schema: T.StructType):
     yield from pa.table(cols, schema=target).to_batches()
 
 
-def _plan_file_partitions(path: str, since: int, to: int) -> list[_FilePartition]:
+def _plan_file_partitions(path: str, since: int, to: int,
+                          col_bounds: dict | None = None) -> list[_FilePartition]:
+    """``col_bounds`` ({col: [lo, hi]}, either bound None) prunes files
+    whose recorded stats cannot intersect — sound here without the
+    MOR lower-bound caveat because the feed serves RAW per-commit rows
+    and the pushed predicates are re-applied row-level by Spark."""
     table = LakeTable(path)
     parts: list[_FilePartition] = []
     for sl in plan_changes(table, since, to):
         sjson = sl.schema.json()
         for f in sl.files:
+            if col_bounds:
+                st = sl.file_stats.get(f) or {}
+                skip = False
+                for c, (lo, hi) in col_bounds.items():
+                    b = st.get(c)
+                    if b and b[0] is not None and (
+                        (lo is not None and b[1] < lo) or (hi is not None and b[0] > hi)
+                    ):
+                        skip = True
+                        break
+                if skip:
+                    continue
             parts.append(
                 _FilePartition(
                     path=os.path.join(path, f),
@@ -169,9 +186,21 @@ class LakeFeedBatchReader(DataSourceReader):
         to = options.get("toVersion", options.get("toversion"))
         self._to = int(to) if to is not None else table.current_version()
         self._schema = schema
+        self._col_bounds: dict = {}
 
     def partitions(self):
-        parts = _plan_file_partitions(self._path, self._since, self._to)
+        since, to = self._since, self._to
+        vb = self._col_bounds.get(COMMIT_VERSION_COL)
+        if vb:  # pushed version predicates narrow the metadata walk itself
+            lo, hi = vb
+            if lo is not None:
+                since = max(since, int(lo) - 1)
+            if hi is not None:
+                to = min(to, int(hi))
+        if since > to:
+            return [InputPartition(None)]
+        bounds = {c: b for c, b in self._col_bounds.items() if c != COMMIT_VERSION_COL}
+        parts = _plan_file_partitions(self._path, since, to, col_bounds=bounds or None)
         # batch reader contract: at least one partition
         return parts or [InputPartition(None)]
 
@@ -179,6 +208,58 @@ class LakeFeedBatchReader(DataSourceReader):
         if not isinstance(partition, _FilePartition):
             return iter(())  # empty range
         return _read_file_partition(partition, self._schema)
+
+
+class LakeFeedPushdownBatchReader(LakeFeedBatchReader):
+    """Batch reader with Catalyst filter pushdown (opt-in via
+    ``.option("pushdown", "true")``): range/equality predicates on
+    ``_commit_version`` narrow the version walk, and predicates on
+    stats-tracked columns (e.g. ``lsn``) skip files via the snapshot's
+    per-file bounds. EVERY filter is also returned as residual, so Spark
+    re-applies it row-level — pruning is purely a scan reduction, never a
+    semantics change. Split out as a subclass because Spark refuses any
+    reader implementing ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is off (the engine's
+    ``get_spark`` turns it on)."""
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def tighten(col, lo=None, hi=None):
+            cur_lo, cur_hi = self._col_bounds.get(col, (None, None))
+            if lo is not None:
+                cur_lo = lo if cur_lo is None else max(cur_lo, lo)
+            if hi is not None:
+                cur_hi = hi if cur_hi is None else min(cur_hi, hi)
+            self._col_bounds[col] = (cur_lo, cur_hi)
+
+        # eager (not a generator): bounds must exist before partitions()
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            # strictness is deliberately relaxed to >=/<= for pruning —
+            # keeping a boundary file is sound, Spark filters its rows
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                tighten(col, lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                tighten(col, hi=f.value)
+            elif isinstance(f, EqualTo):
+                tighten(col, lo=f.value, hi=f.value)
+            elif isinstance(f, In) and f.value:
+                try:
+                    tighten(col, lo=min(f.value), hi=max(f.value))
+                except TypeError:
+                    pass  # mixed/unorderable values: no pruning
+        return list(filters)  # ALL residual: Spark always re-evaluates
 
 
 class LakeFeedDataSource(DataSource):
@@ -198,6 +279,8 @@ class LakeFeedDataSource(DataSource):
         return LakeFeedStreamReader(self.options, schema)
 
     def reader(self, schema: T.StructType) -> LakeFeedBatchReader:
+        if str(self.options.get("pushdown", "")).lower() in ("true", "1", "yes"):
+            return LakeFeedPushdownBatchReader(self.options, schema)
         return LakeFeedBatchReader(self.options, schema)
 
 

@@ -130,6 +130,33 @@ def test_streaming_replication_lake_to_lake(spark, tmp_path, events, mor_table):
         final_state_oracle(events), *KEYS, "lsn", "content")
 
 
+def test_pushdown_prunes_versions_and_files(spark, mor_table):
+    base = (
+        spark.read.format("lakefeed").option("path", mor_table.path)
+        .option("pushdown", "true").load()
+    )
+    # pushed version predicate == explicit range read
+    got = base.filter(F.col(COMMIT_VERSION_COL) == 3)
+    assert _rows(got, *FEED_COLS) == _rows(read_changes(spark, mor_table, 2, 3), *FEED_COLS)
+    # pushed lsn range == unpruned + row filter (batches are 500-lsn wide)
+    got2 = base.filter(F.col("lsn") >= 1500)
+    want2 = read_changes(spark, mor_table, 1).filter(F.col("lsn") >= 1500)
+    assert _rows(got2, *FEED_COLS) == _rows(want2, *FEED_COLS)
+
+    # whitebox: the reader really skips partitions, not just rows
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    from docetl_spark.streaming.feed_source import LakeFeedPushdownBatchReader
+
+    n_all = len(LakeFeedPushdownBatchReader({"path": mor_table.path}, base.schema).partitions())
+    r = LakeFeedPushdownBatchReader({"path": mor_table.path}, base.schema)
+    r.pushFilters([GreaterThanOrEqual(("lsn",), 1500)])
+    assert 0 < len(r.partitions()) < n_all  # old batches' files skipped
+    rv = LakeFeedPushdownBatchReader({"path": mor_table.path}, base.schema)
+    rv.pushFilters([EqualTo((COMMIT_VERSION_COL,), 3)])
+    assert {p.version for p in rv.partitions()} == {3}
+
+
 def test_feed_schema_has_system_cols(spark, mor_table):
     df = spark.read.format("lakefeed").option("path", mor_table.path).load()
     for c in (CHANGE_TYPE_COL, COMMIT_VERSION_COL, COMMIT_TS_COL):
