@@ -263,6 +263,56 @@ WHERE event_type <> 'error' AND event_id >= 9900
 """
 
 
+def q_cdc_feed_source_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed through the REGISTERED data source
+    (``spark.read.format("lakefeed")``, streaming/feed_source.py) with
+    Catalyst filter pushdown: the lsn predicate prunes old commits' delta
+    files via the snapshot's per-file bounds before any task is
+    scheduled, and Spark re-applies it row-level (pruning never changes
+    semantics). Same per-batch-winner contract as ``cdc_change_feed``."""
+    from docetl_spark.cdc import create_cdc_table, replay_events
+    from docetl_spark.streaming import register_lakefeed
+
+    events = _t(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="cdc_feed_src_")
+    shutil.rmtree(path, ignore_errors=True)
+    table = create_cdc_table(path, ["user_id"], num_buckets=16)
+    replay_events(spark, table, _events_as_changes(events, batch_size=2000), mode="mor")
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_lakefeed(spark)
+    feed = (
+        spark.read.format("lakefeed")
+        .option("path", table.path)
+        .option("pushdown", "true")
+        .load()
+        .filter(F.col("lsn") >= 4000)
+    )
+    return feed.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("lsn"),
+        F.col("_change_type").alias("change_type"),
+        F.col("event_type"),
+        F.round(F.col("value"), 2).alias("value_r"),
+    )
+
+
+ORACLE_CDC_FEED_PUSHDOWN = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_id AS lsn,
+       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS change_type,
+       event_type,
+       round(value, 2) AS value_r
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY CAST(floor(event_id / 2000) AS BIGINT), user_id
+  ORDER BY event_id DESC) = 1
+"""
+ORACLE_CDC_FEED_PUSHDOWN = (
+    "SELECT * FROM (" + ORACLE_CDC_FEED_PUSHDOWN + ") WHERE lsn >= 4000"
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_cdc_merge_lww(spark, "/root/testdata/sf0.001")
@@ -2146,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_feed_net_slice": q_cdc_feed_net_slice,
         "cdc_replica_from_feed": q_cdc_replica_from_feed,
         "cdc_state_since_lsn": q_cdc_state_since_lsn,
+        "cdc_feed_source_pushdown": q_cdc_feed_source_pushdown,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_top10": q_tpch_q3_top10,
         "revenue_by_nation": q_revenue_by_nation,
@@ -2210,6 +2261,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_feed_net_slice": ORACLE_CDC_FEED_SLICE,
         "cdc_replica_from_feed": ORACLE_CDC,
         "cdc_state_since_lsn": ORACLE_CDC_SINCE,
+        "cdc_feed_source_pushdown": ORACLE_CDC_FEED_PUSHDOWN,
         "tpch_q1": ORACLE_Q1,
         "tpch_q3_top10": ORACLE_Q3,
         "revenue_by_nation": ORACLE_NATION,
