@@ -81,12 +81,15 @@ def feed_schema(table_schema: T.StructType) -> T.StructType:
 @dataclass
 class _FilePartition(InputPartition):
     """One parquet file of one committed change slice. Carries everything
-    ``read`` needs so executors never touch table metadata."""
+    ``read`` needs so executors never touch table metadata. Deliberately
+    schema-free: ``read`` aligns each file straight to the QUERY schema
+    (missing columns -> typed nulls, numerics cast), so per-slice schemas
+    would only bloat the per-partition pickle — at scale that is one
+    schema JSON times thousands of files per microbatch."""
 
     path: str  # absolute file path
     version: int
     timestamp_ms: int
-    file_schema_json: str  # the slice's (that version's) table schema
 
 
 def _read_file_partition(part: _FilePartition, query_schema: T.StructType):
@@ -129,7 +132,6 @@ def _plan_file_partitions(path: str, since: int, to: int,
     table = LakeTable(path)
     parts: list[_FilePartition] = []
     for sl in plan_changes(table, since, to):
-        sjson = sl.schema.json()
         for f in sl.files:
             if col_bounds:
                 st = sl.file_stats.get(f) or {}
@@ -148,7 +150,6 @@ def _plan_file_partitions(path: str, since: int, to: int,
                     path=os.path.join(path, f),
                     version=sl.version,
                     timestamp_ms=sl.timestamp_ms,
-                    file_schema_json=sjson,
                 )
             )
     return parts
