@@ -51,7 +51,6 @@ checkpoints and has no incremental source face
 from __future__ import annotations
 
 import os
-import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,10 +68,6 @@ COMMIT_TS_COL = "_commit_timestamp_ms"
 # (compact folds MOR deltas but the LWW-resolved state is unchanged;
 # prune/reindex rebuild derived index tables from their source of truth.)
 _STATE_PRESERVING_REWRITES = {"compact", "rebucket", "widen-rewrite", "prune", "reindex"}
-
-
-def changelog_tag(version: int) -> str:
-    return f"chlog{version:08d}-{uuid.uuid4().hex[:8]}"
 
 
 @dataclass

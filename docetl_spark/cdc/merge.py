@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from docetl_spark.lake.table import CommitConflict, LakeTable, Snapshot
-from docetl_spark.schema import merge_schemas
+from docetl_spark.schema import SchemaError, merge_schemas
 
 FENCE_PROP = "cdc.last-batch-id"
 DELTA_PROP = "cdc.has-deltas"  # true -> MOR deltas present, reads must LWW-dedup
@@ -60,6 +60,24 @@ DELETED_COL = "_deleted"  # tombstone flag: deletes keep (key, lsn) so a
 # late-arriving event with a smaller LSN cannot resurrect a deleted row.
 
 TransformStage = Callable[[DataFrame], DataFrame]
+
+
+def reject_reserved_columns(df: DataFrame, caller: str,
+                            reserved: tuple = ("lsn", "op")) -> None:
+    """Fail loudly when a payload frame carries columns an ingest face
+    synthesizes itself. The ingest wrappers (``dedup_ingest``,
+    ``ivf_ingest``) prepend their own ``lsn``/``op``; a batch that already
+    has them (e.g. vectors re-read from another CDC table via
+    ``read_state``, which returns ``lsn``) would otherwise produce
+    duplicate column names and fail deep inside the merge with
+    AMBIGUOUS_REFERENCE — or, worse, silently resolve to the wrong one."""
+    clash = sorted(set(df.columns) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"{caller}: batch carries reserved column(s) {clash}; this ingest "
+            "synthesizes them itself — drop or rename them upstream "
+            f"(e.g. .drop({', '.join(repr(c) for c in clash)}))"
+        )
 
 
 @dataclass
@@ -352,6 +370,14 @@ def _merge_apply_once(
     staged_empty = _winner_staged(batch.limit(0))
 
     key_cols = snap.key_cols
+    if "_bucket" in staged_empty.columns:
+        # the write path overwrites _bucket with the hash-bucket id and the
+        # partitioned write then strips it — a data column named _bucket
+        # would be silently destroyed, so refuse it loudly
+        raise SchemaError(
+            "'_bucket' is a reserved lake column (the merge overwrites it "
+            "with the hash-bucket id); rename it upstream"
+        )
     # -- in-flight schema evolution -------------------------------------
     payload_fields = [f for f in staged_empty.schema.fields if f.name not in CONTROL_COLS]
     incoming = T.StructType(

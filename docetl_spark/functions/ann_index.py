@@ -45,7 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from docetl_spark.cdc.merge import FENCE_PROP, MergeMetrics, merge_apply
+from docetl_spark.cdc.merge import FENCE_PROP, MergeMetrics, merge_apply, reject_reserved_columns
 from docetl_spark.functions.ann import _cell_assign_udf, _rank_topk, ivf_centroids
 from docetl_spark.functions.incr_dedup import (
     _affected_hash_buckets,
@@ -128,6 +128,7 @@ def ivf_ingest(
             f"ivf_ingest needs an integral id_col; {id_col!r} is {id_type} "
             "(derive one upstream, e.g. xxhash64 of a natural key)"
         )
+    reject_reserved_columns(batch, "ivf_ingest")
     snap = table.snapshot()
     if batch_id <= int(snap.properties.get(FENCE_PROP, "-1")):
         return IvfIngestMetrics(

@@ -45,7 +45,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from docetl_spark.cdc.merge import FENCE_PROP, MergeMetrics, merge_apply
+from docetl_spark.cdc.merge import FENCE_PROP, MergeMetrics, merge_apply, reject_reserved_columns
 from docetl_spark.functions.dedup import (
     band_buckets,
     minhash_signature,
@@ -368,6 +368,7 @@ def dedup_ingest(
             f"dedup_ingest needs an integral id_col; {id_col!r} is {id_type} "
             "(derive one upstream, e.g. xxhash64 of a natural key)"
         )
+    reject_reserved_columns(batch, "dedup_ingest")
     if method == "minhash":
         if not text_col:
             raise ValueError("method='minhash' needs text_col")
@@ -576,6 +577,13 @@ def _index_maintenance(spark, table, subdir, make_entries, conflict_retries, op)
                     "between its index and corpus commits; let it finish (or "
                     "redeliver it) before running index maintenance"
                 )
+            # the normal live race: ingest committed its index and is in
+            # its stats/bucket-write window (seconds). Bare retries are
+            # two tiny JSON reads apiece and would burn the whole budget
+            # in milliseconds — back off so the window can actually close.
+            import time as _time
+
+            _time.sleep(min(2.0, 0.25 * (2 ** attempt)))
             continue
         live = _live_ids(spark, table, snap)
         entries = make_entries(idx, isnap, snap, live)

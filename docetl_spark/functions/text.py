@@ -182,11 +182,62 @@ class Bm25Stats:
         avg_idf = float(vocab.agg(F.avg(idf_raw)).collect()[0][0] or 0.0)
         return cls(n_docs, avgdl, avg_idf, vocab, k1, b, epsilon, text_col)
 
+    @classmethod
+    def fit_for_query(cls, df, text_col: str, query: str, k1: float = 1.5,
+                      b: float = 0.75, epsilon: float = 0.25) -> "Bm25Stats":
+        """One-shot stats for a SINGLE known query: exactly two eager jobs
+        (count/avgdl + ONE combined vocab aggregate computing the corpus
+        avg idf AND every query term's df together) and nothing pinned —
+        no ``localCheckpoint``, no executor blocks left behind. This is
+        ``bm25_score``'s default path: a per-call fit must not leave
+        state that only a long-lived ``fit()`` would amortize. The result
+        scores only this query's terms; asking it for other terms raises
+        (use ``fit`` for a reusable corpus object)."""
+        terms = _preprocess_query(query)
+        toks = fts_tokens(text_col)
+        r1 = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("tot")
+        ).collect()[0]
+        n_docs, total_len = int(r1["n"] or 0), int(r1["tot"] or 0)
+        if n_docs == 0:
+            return cls(0, 1.0, 0.0, None, k1, b, epsilon, text_col)
+        avgdl = (total_len / n_docs) or 1.0
+        uniq = list(dict.fromkeys(terms))
+        idf_raw = (
+            F.log(F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+            - F.log(F.col("_df") + F.lit(0.5))
+        )
+        row = (
+            df.select(F.explode(F.array_distinct(toks)).alias("_w"))
+            .groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+            .agg(
+                F.avg(idf_raw).alias("_avg_idf"),
+                *[
+                    F.max(F.when(F.col("_w") == F.lit(t), F.col("_df"))).alias(f"_t{i}")
+                    for i, t in enumerate(uniq)
+                ],
+            )
+            .collect()[0]
+        )
+        out = cls(n_docs, avgdl, float(row["_avg_idf"] or 0.0), None,
+                  k1, b, epsilon, text_col)
+        out._df_cache = {
+            t: (int(row[f"_t{i}"]) if row[f"_t{i}"] is not None else None)
+            for i, t in enumerate(uniq)
+        }
+        return out
+
     def term_idfs(self, terms: list[str]) -> dict[str, float]:
         """Per-term BM25Okapi idf (eps-floored); one bounded vocab-lookup
         job for terms not yet cached, zero jobs otherwise."""
         uniq = list(dict.fromkeys(terms))
         missing = [t for t in uniq if t not in self._df_cache]
+        if missing and self._vocab is None and self.n_docs > 0:
+            raise ValueError(
+                f"these stats were fit for a fixed query (fit_for_query) and "
+                f"carry no vocab for {missing!r}; use Bm25Stats.fit for a "
+                "reusable corpus object"
+            )
         if missing and self._vocab is not None:
             rows = (
                 self._vocab.filter(F.col("_w").isin(missing))
@@ -267,18 +318,19 @@ def bm25_score(
     * no TF-IDF fallback: the reference only falls back when the
       ``rank_bm25`` dependency is missing; here BM25 is closed-form SQL
 
-    Execution contract: without ``stats``, corpus statistics cost eager
-    aggregate jobs at call time (fit — matching the reference's per-call
-    semantics). Pass a pre-fit ``Bm25Stats`` (or call ``Bm25Stats.fit``
-    once yourself) to amortize the corpus scans across many queries on a
-    stable corpus — the per-call cost then drops to one bounded vocab
-    lookup."""
+    Execution contract: without ``stats``, corpus statistics cost exactly
+    TWO eager jobs at call time (count/avgdl + one combined vocab
+    aggregate; ``Bm25Stats.fit_for_query`` — matching the reference's
+    per-call semantics, pinning nothing). Pass a pre-fit ``Bm25Stats``
+    (or call ``Bm25Stats.fit`` once yourself) to amortize the corpus
+    scans across many queries on a stable corpus — the per-call cost then
+    drops to one bounded vocab lookup."""
     if not _preprocess_query(query):
         # nothing to score — skip the corpus-stats fit entirely (two
         # corpus scans for a constant-zero column otherwise)
         return F.lit(0.0)
     if stats is None:
-        stats = Bm25Stats.fit(df, text_col, k1=k1, b=b, epsilon=epsilon)
+        stats = Bm25Stats.fit_for_query(df, text_col, query, k1=k1, b=b, epsilon=epsilon)
     return stats.score(query, text_col)
 
 

@@ -54,6 +54,29 @@ class CommitConflict(RuntimeError):
     """Another writer committed the same version first."""
 
 
+def stats_may_intersect(file_stats: dict | None, ranges: dict,
+                        lower_only: bool = False) -> bool:
+    """Whether a file with these recorded ``{col: [min, max]}`` bounds MAY
+    hold rows satisfying every ``{col: (lo, hi)}`` range (either range
+    bound may be None). Missing or partial stats keep the file —
+    pruning is only ever a scan reduction for a post-filtered read.
+    ``lower_only`` ignores upper bounds (the sound mode for LWW-resolved
+    MOR reads; see ``LakeTable.pruned_files``). THE one implementation of
+    the stats-skip predicate — ``pruned_files`` and the ``lakefeed``
+    partition planner both call it, so the recorded-stats shape and the
+    None-handling can never drift between the two readers."""
+    st = file_stats or {}
+    for c, (lo, hi) in ranges.items():
+        b = st.get(c)
+        if not b or b[0] is None or b[1] is None:
+            continue
+        if (lo is not None and b[1] < lo) or (
+            not lower_only and hi is not None and b[0] > hi
+        ):
+            return False
+    return True
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -205,21 +228,10 @@ class LakeTable:
         keep: list[str] = []
         skipped = 0
         for f in snap.all_files:
-            st = snap.file_stats.get(f) or {}
-            drop = False
-            for c, (lo, hi) in ranges.items():
-                b = st.get(c)
-                if not b or b[0] is None or b[1] is None:
-                    continue
-                if (lo is not None and b[1] < lo) or (
-                    not lower_only and hi is not None and b[0] > hi
-                ):
-                    drop = True
-                    break
-            if drop:
-                skipped += 1
-            else:
+            if stats_may_intersect(snap.file_stats.get(f), ranges, lower_only):
                 keep.append(f)
+            else:
+                skipped += 1
         return keep, skipped
 
     def read_pruned(

@@ -263,10 +263,15 @@ class Pipeline:
         out = {}
         for name, obs in self.observations.items():
             m = _observation_peek(obs)
-            if m and m.get("rows_in"):
+            # rows_in == 0 is a LANDED observation (the stage ran on an
+            # empty frame — exactly the over-pruning signal this audit
+            # exists to surface), distinct from "not yet run" (m is None)
+            if m is not None and m.get("rows_in") is not None:
+                rows_in = m["rows_in"]
+                rows_kept = m["rows_kept"] or 0
                 out[name] = {
-                    "rows_in": m["rows_in"], "rows_kept": m["rows_kept"] or 0,
-                    "selectivity": round((m["rows_kept"] or 0) / m["rows_in"], 6),
+                    "rows_in": rows_in, "rows_kept": rows_kept,
+                    "selectivity": round(rows_kept / rows_in, 6) if rows_in else None,
                 }
         return out
 

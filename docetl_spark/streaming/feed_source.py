@@ -62,7 +62,7 @@ from docetl_spark.cdc.changes import (
     plan_changes,
 )
 from docetl_spark.cdc.merge import DELETED_COL
-from docetl_spark.lake.table import LakeTable
+from docetl_spark.lake.table import LakeTable, stats_may_intersect
 
 FORMAT_NAME = "lakefeed"
 
@@ -93,58 +93,57 @@ class _FilePartition(InputPartition):
 
 
 def _read_file_partition(part: _FilePartition, query_schema: T.StructType):
-    """Executor-side: one file -> aligned Arrow batches. Stateless."""
+    """Executor-side: one file -> aligned Arrow batches. Stateless.
+    Streams ROW GROUPS (never the whole file in memory — delta files can
+    be large after compaction-free ingest runs) and builds the constant
+    system columns as O(1)-allocation repeats, not Python lists."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    tbl = pq.read_table(part.path)
-    n = tbl.num_rows
     target = to_arrow_schema(query_schema)
-    if DELETED_COL in tbl.column_names:
-        deleted = pc.fill_null(tbl[DELETED_COL].combine_chunks().cast(pa.bool_()), False)
-        change_type = pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
-    else:
-        change_type = pa.array(["upsert"] * n)
-    consts = {
-        CHANGE_TYPE_COL: change_type,
-        COMMIT_VERSION_COL: pa.array([part.version] * n, pa.int64()),
-        COMMIT_TS_COL: pa.array([part.timestamp_ms] * n, pa.int64()),
-    }
-    cols = []
-    for f in target:
-        if f.name in consts:
-            cols.append(consts[f.name].cast(f.type))
-        elif f.name in tbl.column_names:
-            cols.append(tbl[f.name].cast(f.type))
+    pf = pq.ParquetFile(part.path)
+    has_deleted = DELETED_COL in pf.schema_arrow.names
+    for rb in pf.iter_batches():
+        tbl = pa.Table.from_batches([rb])
+        n = tbl.num_rows
+        if has_deleted:
+            deleted = pc.fill_null(tbl[DELETED_COL].combine_chunks().cast(pa.bool_()), False)
+            change_type = pc.if_else(deleted, pa.scalar("delete"), pa.scalar("upsert"))
         else:
-            cols.append(pa.nulls(n, f.type))  # column added after this file
-    yield from pa.table(cols, schema=target).to_batches()
+            change_type = pa.repeat(pa.scalar("upsert"), n)
+        consts = {
+            CHANGE_TYPE_COL: change_type,
+            COMMIT_VERSION_COL: pa.repeat(pa.scalar(part.version, pa.int64()), n),
+            COMMIT_TS_COL: pa.repeat(pa.scalar(part.timestamp_ms, pa.int64()), n),
+        }
+        cols = []
+        for f in target:
+            if f.name in consts:
+                cols.append(consts[f.name].cast(f.type))
+            elif f.name in tbl.column_names:
+                cols.append(tbl[f.name].cast(f.type))
+            else:
+                cols.append(pa.nulls(n, f.type))  # column added after this file
+        yield from pa.table(cols, schema=target).to_batches()
 
 
 def _plan_file_partitions(path: str, since: int, to: int,
                           col_bounds: dict | None = None) -> list[_FilePartition]:
-    """``col_bounds`` ({col: [lo, hi]}, either bound None) prunes files
-    whose recorded stats cannot intersect — sound here without the
-    MOR lower-bound caveat because the feed serves RAW per-commit rows
-    and the pushed predicates are re-applied row-level by Spark."""
+    """``col_bounds`` ({col: (lo, hi)}, either bound None) prunes files
+    whose recorded stats cannot intersect (``stats_may_intersect``, the
+    single shared skip predicate) — sound here without the MOR
+    lower-bound caveat because the feed serves RAW per-commit rows and
+    the pushed predicates are re-applied row-level by Spark."""
     table = LakeTable(path)
     parts: list[_FilePartition] = []
     for sl in plan_changes(table, since, to):
         for f in sl.files:
-            if col_bounds:
-                st = sl.file_stats.get(f) or {}
-                skip = False
-                for c, (lo, hi) in col_bounds.items():
-                    b = st.get(c)
-                    if b and b[0] is not None and (
-                        (lo is not None and b[1] < lo) or (hi is not None and b[0] > hi)
-                    ):
-                        skip = True
-                        break
-                if skip:
-                    continue
+            if col_bounds and not stats_may_intersect(
+                sl.file_stats.get(f), col_bounds
+            ):
+                continue
             parts.append(
                 _FilePartition(
                     path=os.path.join(path, f),

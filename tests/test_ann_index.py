@@ -218,3 +218,14 @@ def test_rebuild_ivf_index_reclaims_stale_cells_keeps_pin(spark, corpus_table):
                    spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>"),
                    1, "vec_id", "embedding", n_centroids=4)
     assert m.merge.skipped
+
+
+def test_ivf_ingest_reserved_columns_refused(spark, tmp_path):
+    """Same contract as dedup_ingest: a batch carrying op/lsn is refused
+    before anything commits."""
+    t = create_cdc_table(str(tmp_path / "v"), ["vec_id"])
+    bad = spark.createDataFrame(
+        [(1, [0.1, 0.2], "U")], "vec_id long, emb array<double>, op string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        ivf_ingest(spark, t, bad, 0, id_col="vec_id", vec_col="emb")

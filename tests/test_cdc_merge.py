@@ -603,3 +603,18 @@ def test_interleaved_ingest_compaction_stress(spark, tmp_path, events):
     fresh = LakeTable(path)
     assert fresh.snapshot().properties.get("cdc.has-deltas") == "false"
     assert state_hashes(read_state(spark, fresh)) == state_hashes(want)
+
+
+def test_reserved_bucket_column_refused(spark, tmp_path):
+    """_bucket is the write path's partitioning column — a payload column
+    by that name would be silently overwritten and destroyed, so the
+    merge refuses it loudly and leaves the table untouched."""
+    from docetl_spark.schema import SchemaError
+
+    path = str(tmp_path / "t")
+    table = create_cdc_table(path, KEYS)
+    v0 = table.current_version()
+    ev = gen_change_events(spark, n_events=50, batch_size=50).withColumn("_bucket", F.lit(7))
+    with pytest.raises(SchemaError, match="_bucket"):
+        merge_apply(spark, table, ev, 0)
+    assert table.current_version() == v0

@@ -474,3 +474,32 @@ def test_bm25_empty_query_is_free(spark):
     df = spark.createDataFrame([("a",), ("b",)], "text string")
     vals = [r[0] for r in df.select(col.alias("s")).collect()]
     assert vals == [0.0, 0.0]
+
+
+def test_bm25_fit_for_query_oneshot_contract(spark, tmp_path):
+    """bm25_score's default (stats=None) path fits via fit_for_query:
+    nothing pinned, no corpus re-scan after the fit (files deleted to
+    prove it), scores identical to a full fit, and term lookups outside
+    the fitted query fail loudly instead of silently scoring 0."""
+    import shutil
+
+    from docetl_spark.functions.text import Bm25Stats
+
+    texts = ["dup alpha beta", "beta dup", "alpha only here", "dup dup dup"]
+    query = "dup beta ghost"
+    mem = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    full = Bm25Stats.fit(mem, "text")
+
+    p = str(tmp_path / "corpus.parquet")
+    mem.write.parquet(p)
+    disk = spark.read.parquet(p)
+    st = Bm25Stats.fit_for_query(disk, "text", query)
+    shutil.rmtree(p)  # corpus gone: any later corpus re-scan would throw
+
+    assert st.term_idfs(["dup", "beta", "ghost"]) == full.term_idfs(["dup", "beta", "ghost"])
+    got = [r["s"] for r in mem.withColumn("s", st.score(query, "text")).orderBy("id").collect()]
+    want = [r["s"] for r in mem.withColumn("s", full.score(query, "text")).orderBy("id").collect()]
+    assert got == pytest.approx(want, abs=1e-12)
+
+    with pytest.raises(ValueError, match="fixed query"):
+        st.term_idfs(["gamma"])

@@ -464,3 +464,14 @@ def test_rebuild_band_index_param_mismatch_fails_loudly(spark, tmp_path, corpus)
             expected_params={"dedup.method": "minhash", "dedup.num-hashes": "64",
                              "dedup.bands": "32", "dedup.shingle-n": "3"},
         )
+
+
+def test_dedup_ingest_reserved_columns_refused(spark, tmp_path):
+    """A batch that already carries lsn/op (e.g. rows re-read from another
+    CDC table via read_state) must be rejected at the door — the ingest
+    synthesizes those columns and a duplicate would fail deep inside the
+    merge (or silently resolve wrong)."""
+    t = create_cdc_table(str(tmp_path / "c"), ["doc_id"])
+    bad = spark.createDataFrame([(1, "some text", 5)], "doc_id long, text string, lsn long")
+    with pytest.raises(ValueError, match="reserved"):
+        dedup_ingest(spark, t, bad, 0, id_col="doc_id", text_col="text")

@@ -472,3 +472,23 @@ def test_split_assume_distinct_plumbed(spark):
         reduce_aggs={"s": "count(1)"}, assume_distinct=True,
     )
     assert ops2[0]["op"] == "split" and ops2[0]["assume_distinct"] is True
+
+
+def test_observed_selectivity_reports_emptied_stages(spark, tmp_path):
+    """A landed observation with rows_in == 0 (an upstream filter emptied
+    the frame) must appear in the audit — that zero IS the over-pruning
+    signal the audit exists to surface — distinct from 'never ran'."""
+    cfg = {
+        "datasets": {"docs": {"path": os.path.join(SF_DIR, "documents.parquet")}},
+        "steps": [{"name": "s1", "input": "docs", "operations": [
+            {"op": "filter", "name": "kill_all", "where": "n_chars < 0",
+             "observe": True},
+            {"op": "filter", "name": "downstream", "where": "lang = 'en'",
+             "observe": True},
+        ]}],
+    }
+    p = Pipeline.from_yaml(_write(tmp_path, cfg))
+    assert p.run(spark).count() == 0
+    sel = p.observed_selectivity()
+    assert sel["kill_all"]["rows_in"] > 0 and sel["kill_all"]["rows_kept"] == 0
+    assert sel["downstream"] == {"rows_in": 0, "rows_kept": 0, "selectivity": None}
