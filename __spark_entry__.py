@@ -941,13 +941,22 @@ def q_hierarchical_reduce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.plans.pipeline import _apply_op
 
     events = _t(spark, sf_dir, "events")
+    # hash-stability (VERDICT r5 #1): double addition is order-dependent,
+    # so a nested sum(sum(value)) could ulp-flip under the driver's
+    # partitioning. ``value`` is whole cents in this corpus (every exact
+    # group sum sits ON the 2-decimal grid, verified maximally far from
+    # every rounding midpoint), so CAST to DECIMAL(18,2) is EXACT and the
+    # decimal sums are order-independent; the final CAST back to double
+    # reproduces the oracle's round(sum(v), 2) bit-for-bit at any
+    # parallelism. The macro itself is untouched — this is the contract
+    # query choosing an exactly-representable summand.
     ops_list = expand_macros([{
         "op": "hierarchical_reduce", "name": "events_by_user",
         "reduce_key": "user_id", "additional_key": "event_type",
-        "aggs_fine": {"n": "count(*)", "v": "sum(value)"},
+        "aggs_fine": {"n": "count(*)", "v": "sum(CAST(value AS DECIMAL(18,2)))"},
         "aggs_rollup": {
             "n_events": "sum(n)", "n_types": "count(*)",
-            "total_v": "round(sum(v), 2)", "max_type_n": "max(n)",
+            "total_v": "CAST(round(sum(v), 2) AS DOUBLE)", "max_type_n": "max(n)",
         },
     }])
     df = events
