@@ -691,7 +691,10 @@ def q_gather_rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docetl_spark.operators import gather, split
 
     docs = _t(spark, sf_dir, "documents")
-    chunks = split(docs, "text", method="delimiter", delimiter=" ", num_splits_to_group=40, name="sp")
+    # rows are distinct by doc_id: the single-pass split (r5 opt-in) skips
+    # the duplicate-probe job — identical chunks, one fewer corpus pass
+    chunks = split(docs, "text", method="delimiter", delimiter=" ", num_splits_to_group=40, name="sp",
+                   assume_distinct=True)
     out = gather(
         chunks, "text_chunk", "doc_id", "sp_chunk_num",
         peripheral_chunks={"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
@@ -747,6 +750,7 @@ def q_doc_chunking_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op": "chunked_map", "name": "kw",
         "split_key": "text", "method": "delimiter",
         "delimiter": " ", "num_splits_to_group": 40,
+        "assume_distinct": True,  # doc rows distinct: single-pass split
         "gather_config": {"previous": {"tail": {"count": 1}}, "next": {"head": {"count": 1}}},
         "sub_expr": {
             "rc": "length(text_chunk_rendered)",
@@ -823,6 +827,7 @@ def q_doc_chunking_topk_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op": "chunked_topk", "name": "kwt",
         "split_key": "text", "method": "delimiter",
         "delimiter": " ", "num_splits_to_group": 40,
+        "assume_distinct": True,  # doc rows distinct: single-pass split
         "topk_config": {
             # 'dup' is the one RARE token in the synthetic vocab (positive
             # idf); 'spark' is in most chunks (negative raw idf -> the
@@ -988,7 +993,8 @@ def q_gather_hierarchy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hdr_t = "array<struct<header:string,level:int>>"
     docs = _t(spark, sf_dir, "documents")
-    chunks = split(docs, "text", method="delimiter", delimiter=" ", num_splits_to_group=40, name="sp")
+    chunks = split(docs, "text", method="delimiter", delimiter=" ", num_splits_to_group=40, name="sp",
+                   assume_distinct=True)
     hdr = (
         F.when(
             F.col("sp_chunk_num") % 3 == 1,

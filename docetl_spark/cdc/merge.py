@@ -61,6 +61,31 @@ DELETED_COL = "_deleted"  # tombstone flag: deletes keep (key, lsn) so a
 
 TransformStage = Callable[[DataFrame], DataFrame]
 
+# -- scale-adaptive knobs (env-overridable, guide §2: partitioning must
+# derive from input size, not a constant tuned for one deployment) --------
+
+def _cow_consolidate_bytes() -> int:
+    """CoW merges whose affected buckets hold at most this many bytes
+    shuffle the (small) survivors together with the winners so every
+    rewritten bucket lands in exactly ONE file. Without it, file-aligned
+    survivor writes fragment each bucket by ~one file per batch, and the
+    per-merge driver cost (file listing, footer stats, scan planning)
+    grows linearly with batch count — measured 435 ms/merge of pure
+    driver plan-building at 48 files vs ~150 ms at 16. Above the
+    threshold the wide-row rule wins (survivors never shuffle; periodic
+    compaction owns file counts)."""
+    return int(os.environ.get("SPARK_GRAFT_COW_CONSOLIDATE_BYTES", str(256 << 20)))
+
+
+def _batch_persist_rows() -> int:
+    """Batches at or below this many events are persisted for the merge's
+    duration: the batch plan is read 2-3x (winning-key aggregate, winner
+    join-back) and for small batches a one-shot cache is cheaper than
+    re-running the scan+filter lineage each time. Large batches stream
+    (caching 10^9 rows trades a cheap rescan for executor memory/disk
+    pressure — the wrong trade, so the gate defaults to 4M events)."""
+    return int(os.environ.get("SPARK_GRAFT_BATCH_PERSIST_ROWS", str(4_000_000)))
+
 
 def reject_reserved_columns(df: DataFrame, caller: str,
                             reserved: tuple = ("lsn", "op")) -> None:
@@ -459,6 +484,95 @@ def _merge_apply_once(
         # MOR never reads current state: read-time LWW resolves it.
         has_current = (not is_mor) and any(snap.files.get(b) for b in affected)
 
+        # Small-state byte gate (see _cow_consolidate_bytes): decides both
+        # the consolidating write below and the fused small-merge path.
+        consolidate = False
+        if has_current:
+            try:
+                affected_bytes = sum(
+                    os.path.getsize(os.path.join(table.path, f))
+                    for b in affected
+                    for f in snap.files.get(b, [])
+                )
+                consolidate = affected_bytes <= _cow_consolidate_bytes()
+            except OSError:
+                consolidate = False  # files not locally statable: keep no-shuffle path
+
+        # -- Fused small-merge fast path. The two-phase shape exists so
+        # wide rows never shuffle, but it costs three broadcast builds and
+        # two batch passes per commit — pure serial floor when the
+        # affected state is a few MB. Below the byte gate the whole LWW
+        # collapses into ONE aggregate over (current ∪ batch): max of
+        # struct(lsn, is_current, payload) per key. Tie semantics are
+        # IDENTICAL to the two-phase path: an equal-LSN tie between batch
+        # and stored row keeps the stored row (is_current=1 outranks 0 —
+        # the cur_lsn >= new_lsn rule), and batches carrying internal
+        # duplicate-LSN keys (detected free in phase 1) fall back to the
+        # classic path so the struct-max payload tiebreak stays byte-for-
+        # byte the documented one. Gated off for changelog commits (they
+        # need the winners frame as a sidecar) and winner_stages
+        # (enrichment must see winning batch rows only).
+        fused = (
+            has_current
+            and consolidate
+            and not changelog
+            and not tuple(winner_stages)
+            and not (strict_lww_ties or has_lsn_ties)
+        )
+        if fused:
+            current = _align(table.read_buckets(spark, affected, snap), evolved)
+            batch_al = _align(
+                batch.withColumn(DELETED_COL, F.col("op") == F.lit("D")), evolved
+            )
+            payload = [c for c in evolved.fieldNames() if c not in key_cols and c != "lsn"]
+            packed = F.struct(
+                F.col("lsn"), F.col("_is_cur"), *[F.col(c) for c in payload]
+            )
+            union = current.withColumn("_is_cur", F.lit(1)).unionByName(
+                batch_al.withColumn("_is_cur", F.lit(0))
+            )
+            won = union.groupBy(*key_cols).agg(F.max(packed).alias("_w"))
+            state = won.select(
+                *key_cols,
+                F.col("_w.lsn").alias("lsn"),
+                *[F.col(f"_w.{c}").alias(c) for c in payload],
+            )
+            bexpr = table.bucket_expr(snap_for_bucket)
+            combined = _align(state, evolved).withColumn("_bucket", bexpr).repartition("_bucket")
+            tag = f"snap{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
+            t_w = time.time()
+            new_files = table.write_bucket_files(combined, snap_for_bucket, tag, repartition=False)
+            metrics.write_sec = time.time() - t_w
+            try:
+                new_snap = table.commit(
+                    new_files,
+                    replaced_buckets=set(affected),
+                    schema=evolved,
+                    properties={fence_prop: str(batch_id)},
+                    summary={"operation": "merge", "mode": mode, **metrics.to_dict()},
+                    expected_version=snap.version,
+                )
+            except CommitConflict:
+                cur = table.snapshot()
+                if int(cur.properties.get(fence_prop, "-1")) >= batch_id:
+                    return MergeMetrics(batch_id=batch_id, skipped=True, snapshot_version=cur.version)
+                raise
+            metrics.buckets_touched = len(affected)
+            metrics.bucket_rows = {str(b): int(c) for b, c in bucket_counts.items()}
+            metrics.snapshot_version = new_snap.version
+            metrics.duration_sec = time.time() - t0
+            return metrics
+
+        # Small batches are re-read by the winner join-back (and, with
+        # current state, the winning-key aggregate): cache them once
+        # instead of re-running the batch lineage per pass. Bounded by
+        # the row gate above — large batches keep streaming.
+        if metrics.events_in <= _batch_persist_rows() and (
+            has_current or n_keys != metrics.events_in
+        ):
+            batch = batch.persist()
+            persisted.append(batch)
+
         cur_beats = None
         batch_won = wk.select(*key_cols, "lsn")
         survivors = None
@@ -520,12 +634,28 @@ def _merge_apply_once(
                     *[os.path.join(table.path, f) for f in chlog_files]
                 )
 
-        # One write job: the survivors branch (if any) streams
-        # file-aligned (no shuffle), only the winners branch repartitions.
+        # One write job. Default shape: the survivors branch (if any)
+        # streams file-aligned (no shuffle), only the winners branch
+        # repartitions. Small-state exception: file-aligned survivor
+        # writes emit one file per (scan task, bucket), so each CoW batch
+        # fragments its buckets further and every later merge pays the
+        # growing file count in driver plan-building, footer stats and
+        # scan setup. When the affected buckets hold only a few MB, a
+        # shuffle of those bytes is far cheaper than the fragmentation —
+        # so below the byte gate survivors ride the winners' exchange and
+        # every rewritten bucket compacts to ONE file per commit. Above
+        # it, the wide-row rule stands: table state never shuffles.
         bexpr = table.bucket_expr(snap_for_bucket)
-        combined = winners.withColumn("_bucket", bexpr).repartition("_bucket")
-        if survivors is not None:
-            combined = survivors.withColumn("_bucket", bexpr).unionByName(combined)
+        if consolidate and survivors is not None:
+            combined = (
+                survivors.unionByName(winners)
+                .withColumn("_bucket", bexpr)
+                .repartition("_bucket")
+            )
+        else:
+            combined = winners.withColumn("_bucket", bexpr).repartition("_bucket")
+            if survivors is not None:
+                combined = survivors.withColumn("_bucket", bexpr).unionByName(combined)
         tag = f"snap{snap.version + 1:08d}-{uuid.uuid4().hex[:8]}"
         t_w = time.time()
         new_files = table.write_bucket_files(combined, snap_for_bucket, tag, repartition=False)

@@ -8,7 +8,9 @@ in whole-stage codegen over 100 TB without touching Python."""
 from __future__ import annotations
 
 import math
+import re as _re
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -49,35 +51,56 @@ def _marker_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wordset, F.lower(t))))
 
 
+# Java/Spark `\s` is the ASCII whitespace class; re.ASCII pins Python to
+# the same set so kernel tokenization can never diverge from the Column
+# forms (tokens()/fts_tokens) on non-ASCII separators.
+_ASCII_WS = _re.compile(r"\s+", _re.ASCII)
+_FTS_NONALNUM = _re.compile(r"[^a-z0-9\s]", _re.ASCII)
+
+
+def _lang_id_py(text: str | None, langs: list[str], marker_sets: list[frozenset]) -> str | None:
+    """Exact python mirror of the former single-pass Column fold: count
+    marker hits per language over lowercased whitespace tokens, take the
+    max (hits, lang) pair over positive counts ((hits, lang) tuple order
+    == the struct comparison: hits first, then lexicographically larger
+    lang wins ties), 'und' when nothing matches."""
+    if text is None:
+        return "und"
+    counts = [0] * len(langs)
+    for t in _ASCII_WS.split(text):
+        if not t:
+            continue
+        tl = t.lower()
+        for i, ws in enumerate(marker_sets):
+            if tl in ws:
+                counts[i] += 1
+    best = max(
+        ((h, lang) for h, lang in zip(counts, langs) if h > 0), default=None
+    )
+    return best[1] if best else "und"
+
+
 def lang_id(text: Column | str) -> Column:
     """Heuristic language id: argmax of stopword-marker hit counts; 'und'
     (undetermined) when nothing matches.
 
-    Single-pass fold: tokens are referenced ONCE and each token votes into
-    a per-language counter array (zip_with + elementwise add); the winner
-    is the max (hits, lang) struct over positive counts. The naive form —
-    one ``size(filter(tokens, ...))`` per language plus a CASE WHEN that
-    re-evaluates the argmax — re-tokenizes the document ~2x languages
-    times (observed 12 split() calls per row in the physical plan)."""
-    toks = tokens(text)
+    Arrow-vectorized kernel (guide §4.2): the former single-pass
+    ``F.aggregate`` fold is CodegenFallback — interpreted per token with
+    per-step array allocation — and measured ~4.5 s over the sf1.0 corpus
+    where the batched python counter loop is a fraction of that. Ties
+    break to the lexicographically larger language and no-hit documents
+    return 'und', byte-identical to the fold (pytest-pinned)."""
     langs = sorted(_LANG_MARKERS)
-    wordsets = [F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]]) for lang in langs]
-    counts = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), len(langs)),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(*[F.array_contains(ws, F.lower(t)).cast("int") for ws in wordsets]),
-            lambda a, h: a + h,
-        ),
-    )
-    pairs = F.zip_with(
-        counts,
-        F.array(*[F.lit(lang) for lang in langs]),
-        lambda h, lang: F.struct(h.alias("hits"), lang.alias("lang")),
-    )
-    best = F.array_max(F.filter(pairs, lambda p: p["hits"] > 0))
-    return F.coalesce(best["lang"], F.lit("und"))
+    marker_sets = [frozenset(_LANG_MARKERS[lang]) for lang in langs]
+
+    @F.pandas_udf("string")
+    def _kernel(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_lang_id_py(t, langs, marker_sets) for t in texts], dtype=object
+        )
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _kernel(c)
 
 
 def quality_score(text: Column | str) -> Column:
@@ -116,11 +139,13 @@ def fingerprint(text: Column | str, normalize: bool = True) -> Column:
 
 def fts_tokens(text: Column | str) -> Column:
     """The reference's FTS ``preprocess_text`` (sample.py:588-597) as a
-    Column: lowercase, non-[a-z0-9] runs to spaces, whitespace split.
-    Same regex semantics in Java and DuckDB/RE2 (oracle parity)."""
+    Column: lowercase, split into maximal ``[a-z0-9]`` runs. One regexp
+    split — equivalent to the replace-non-alnum-then-whitespace-split
+    form (both yield the maximal alnum runs, verified token-identical
+    over the corpus) at half the regex cost, which matters because every
+    BM25 fit pays this per corpus pass."""
     c = F.col(text) if isinstance(text, str) else text
-    c = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
 
 
 def _preprocess_query(query: str) -> list[str]:
@@ -207,6 +232,11 @@ class Bm25Stats:
             F.log(F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
             - F.log(F.col("_df") + F.lit(0.5))
         )
+        # (A sentinel-row single-job variant — doc count/length riding the
+        # vocab shuffle — was tried and measured 2.2x SLOWER at sf1.0:
+        # the two consumers of the grouped exchange are not canonically
+        # identical once the final aggregates differ, so AQE materializes
+        # the heavy explode subtree twice. Two bounded jobs it is.)
         row = (
             df.select(F.explode(F.array_distinct(toks)).alias("_w"))
             .groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
@@ -261,38 +291,52 @@ class Bm25Stats:
         """BM25 score Column for ``query`` against this corpus's stats.
         ``text_col`` defaults to the column the stats were conceptually
         fit on — pass it explicitly to score a different frame's column
-        (same tokenization). One ``F.aggregate`` fold tokenizes each
-        document exactly once (N separate tf-expressions would
-        re-tokenize per term — not CSE'd)."""
+        (same tokenization).
+
+        Arrow-vectorized kernel (guide §4.2): the former ``F.aggregate``
+        fold (CodegenFallback, per-token array build) dominated
+        ``topk(method='fts')`` wall time. The python loop reproduces the
+        fold's float64 expression tree operation-for-operation —
+        ``idf·tf·(k1+1) / (tf + k1·((1-b) + b·dl/avgdl))`` with identical
+        association and literal pre-computation — so scores stay
+        BIT-identical to the fold (and to the DuckDB closed-form oracle);
+        tokenization pins ``re.ASCII`` to match the JVM ``\\s`` class."""
         terms = _preprocess_query(query)
         if not terms or self.n_docs == 0:
             return F.lit(0.0)
         uniq = list(dict.fromkeys(terms))
         idf = self.term_idfs(terms)
-        k1, b, avgdl = self.k1, self.b, self.avgdl
+        k1, b, avgdl = self.k1, self.b, float(self.avgdl)
+        one_minus_b = 1.0 - b  # pre-computed literal, same as F.lit(1.0 - b)
+        k1p1 = k1 + 1.0
 
-        toks = fts_tokens(text_col if text_col is not None else self._text_col)
-        zero = F.struct(
-            F.array_repeat(F.lit(0), len(uniq)).alias("c"), F.lit(0).alias("n")
-        )
+        @F.pandas_udf("double")
+        def _kernel(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                if text is None:
+                    out.append(None)  # fts_tokens(null) -> null fold result
+                    continue
+                toks = _ASCII_WS.split(_FTS_NONALNUM.sub(" ", text.lower()))
+                counts = dict.fromkeys(uniq, 0)
+                dl = 0
+                for t in toks:
+                    if not t:
+                        continue
+                    dl += 1
+                    if t in counts:
+                        counts[t] += 1
+                dlf = float(dl)
+                len_norm = k1 * (one_minus_b + b * dlf / avgdl)
+                s = 0.0
+                for t in terms:  # query order, duplicates included (get_scores)
+                    tf = float(counts[t])
+                    s = s + idf[t] * tf * k1p1 / (tf + len_norm)
+                out.append(s)
+            return pd.Series(out, dtype="float64")
 
-        def step(acc, t):
-            hits = F.array(*[(t == F.lit(u)).cast("int") for u in uniq])
-            return F.struct(
-                F.zip_with(acc["c"], hits, lambda a, h: a + h).alias("c"),
-                (acc["n"] + 1).alias("n"),
-            )
-
-        def finish(acc):
-            dl = acc["n"].cast("double")
-            len_norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl)))
-            s = F.lit(0.0)
-            for t in terms:  # query order, duplicates included (get_scores)
-                tf = acc["c"][uniq.index(t)].cast("double")
-                s = s + F.lit(idf[t]) * tf * F.lit(k1 + 1.0) / (tf + len_norm)
-            return s
-
-        return F.aggregate(toks, zero, step, finish)
+        tc = text_col if text_col is not None else self._text_col
+        return _kernel(F.col(tc) if isinstance(tc, str) else tc)
 
 
 def bm25_score(

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -54,49 +55,25 @@ def reformat_with_line_numbers(text: Column | str, line_width: int = 80) -> Colu
     """The pointer protocol's first stage (extract.py:66-117): word-wrap
     the document at ``line_width`` (words longer than the width split into
     width-sized chunks on their own lines) and prefix every line with
-    ``%4d: ``. Pure Column fold — the per-word lambda is interpreted, but
-    word counts per document are small (unlike the per-dim vector folds
-    that moved to Arrow UDFs)."""
+    ``%4d: ``.
+
+    Arrow-vectorized kernel (guide §4.2) running ``_reformat_python`` —
+    the verbatim reference loop — per row inside Arrow batches. The
+    former Column fold was CodegenFallback AND quadratic per document
+    (every word step rebuilt the whole accumulated line array / current
+    line string), measured ~7 s per pass over the sf1.0 corpus where the
+    python loop with its O(doc) ``join`` is a fraction of that. As a
+    bonus the wrap now matches the reference's ``str.split()`` exactly
+    (the fold's ``(?U)\\s+`` still missed the C0 separators
+    U+001C-001F)."""
+    @F.pandas_udf("string")
+    def _kernel(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_reformat_python(t or "", line_width) for t in texts], dtype=object
+        )
+
     c = F.coalesce(F.col(text) if isinstance(text, str) else text, F.lit(""))
-    # (?U): Java \s is ASCII-only by default, but the reference wraps with
-    # python str.split() which also breaks on Unicode whitespace (U+00A0,
-    # U+2028, ...). UNICODE_CHARACTER_CLASS closes that gap; the only
-    # remaining divergence is the exotic C0 separators U+001C-1F (python
-    # splits, Unicode White_Space does not).
-    words = F.filter(F.split(c, r"(?U)\s+"), lambda w: w != "")
-
-    empty_lines = F.array().cast("array<string>")
-
-    def state(lines, cur):
-        return F.struct(lines.alias("lines"), cur.alias("cur"))
-
-    def step(acc, w):
-        lines, cur = acc["lines"], acc["cur"]
-        sep = F.when(cur != "", F.lit(1)).otherwise(F.lit(0))
-        overflow = (F.length(cur) + F.length(w) + sep) > line_width
-        flushed = F.when(cur != "", F.concat(lines, F.array(cur))).otherwise(lines)
-        n_chunks = F.floor((F.length(w) - 1) / line_width).cast("int")
-        chunks = F.transform(
-            F.sequence(F.lit(0), n_chunks),
-            lambda i: F.substring(w, i * line_width + 1, line_width),
-        )
-        long_word = F.length(w) > line_width
-        return (
-            F.when(~overflow, state(lines, F.when(cur == "", w).otherwise(F.concat(cur, F.lit(" "), w))))
-            .when(long_word, state(F.concat(flushed, chunks), F.lit("")))
-            .otherwise(state(flushed, w))
-        )
-
-    folded = F.aggregate(
-        words,
-        state(empty_lines, F.lit("")),
-        step,
-        lambda acc: F.when(acc["cur"] != "", F.concat(acc["lines"], F.array(acc["cur"]))).otherwise(acc["lines"]),
-    )
-    numbered = F.transform(
-        folded, lambda line, i: F.concat(F.format_string("%4d: ", i + F.lit(1)), line)
-    )
-    return F.when(F.length(c) == 0, F.lit("")).otherwise(F.array_join(numbered, "\n"))
+    return _kernel(c)
 
 
 def _strip_line_number(line: Column) -> Column:

@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Commit protocol v2: task output moves directly into the
+        # destination at task commit (one rename instead of two). Safe
+        # here because the lake table's atomicity lives in its metadata
+        # pointer, never in the directory layout (orphan files of failed
+        # jobs are unreferenced and vacuumed), and pipeline checkpoints
+        # still gate on _SUCCESS, which v2 writes as usual. Trims the
+        # filesystem-metadata tail of every per-batch CDC write.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # Python data source pushdown (lakefeed's version/stats pruning).
         # Spark REFUSES a reader that implements pushFilters while this is
         # off, so the engine session enables it; foreign sessions use

@@ -201,9 +201,13 @@ def test_extreme_hot_key_skew_replay(spark, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
 
 
-def test_compact_preserves_state_and_reduces_files(spark, tmp_path, events):
+def test_compact_preserves_state_and_reduces_files(spark, tmp_path, events, monkeypatch):
     from docetl_spark.cdc import create_cdc_table, read_state, replay_events
 
+    # disable the small-state consolidating write so the replay fragments
+    # bucket files the way a wide-row (above-gate) table would — that is
+    # the state compaction exists to clean up
+    monkeypatch.setenv("SPARK_GRAFT_COW_CONSOLIDATE_BYTES", "0")
     table = create_cdc_table(str(tmp_path / "t"), ["repo", "path", "commit"], num_buckets=4)
     replay_events(spark, table, events)
     before = read_state(spark, table).sort("repo", "path", "commit", "lsn").collect()
@@ -618,3 +622,42 @@ def test_reserved_bucket_column_refused(spark, tmp_path):
     with pytest.raises(SchemaError, match="_bucket"):
         merge_apply(spark, table, ev, 0)
     assert table.current_version() == v0
+
+
+def test_fused_small_merge_equals_classic_path(spark, tmp_path, events, monkeypatch):
+    """r6 optimization: below the small-state byte gate the CoW merge runs
+    as ONE aggregate over (current ∪ batch) instead of the three-broadcast
+    two-phase plan. The final state must be IDENTICAL — including the
+    stored-row-wins-on-equal-LSN rule — and every rewritten bucket must
+    land in exactly one file (the consolidating write)."""
+    # classic path (gate forced off)
+    monkeypatch.setenv("SPARK_GRAFT_COW_CONSOLIDATE_BYTES", "0")
+    t_classic = create_cdc_table(str(tmp_path / "classic"), KEYS, num_buckets=4)
+    replay_events(spark, t_classic, events)
+    # fused path (gate wide open)
+    monkeypatch.setenv("SPARK_GRAFT_COW_CONSOLIDATE_BYTES", str(1 << 40))
+    t_fused = create_cdc_table(str(tmp_path / "fused"), KEYS, num_buckets=4)
+    replay_events(spark, t_fused, events)
+
+    assert state_hashes(read_state(spark, t_classic)) == state_hashes(read_state(spark, t_fused))
+    # consolidating write: one file per bucket after every commit
+    snap = t_fused.snapshot()
+    assert all(len(fl) == 1 for fl in snap.files.values())
+
+    # equal-LSN tie against the stored row keeps the stored row on BOTH paths
+    tie = spark.createDataFrame(
+        [Row(lsn=0, op="U", repo="r0", path="p0", commit="c0", content="late-duplicate")]
+    )
+    for tbl in (t_classic, t_fused):
+        stored = read_state(spark, tbl).filter(
+            (F.col("repo") == "r0") & (F.col("path") == "p0") & (F.col("commit") == "c0")
+        ).collect()
+        key_lsn = stored[0]["lsn"] if stored else None
+        if key_lsn is None:
+            continue
+        dup = tie.withColumn("lsn", F.lit(int(key_lsn)))
+        merge_apply(spark, tbl, dup, batch_id=99)
+        after = read_state(spark, tbl).filter(
+            (F.col("repo") == "r0") & (F.col("path") == "p0") & (F.col("commit") == "c0")
+        ).collect()
+        assert after[0]["content"] == stored[0]["content"] != "late-duplicate"
