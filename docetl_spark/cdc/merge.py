@@ -95,8 +95,12 @@ def reject_reserved_columns(df: DataFrame, caller: str,
     has them (e.g. vectors re-read from another CDC table via
     ``read_state``, which returns ``lsn``) would otherwise produce
     duplicate column names and fail deep inside the merge with
-    AMBIGUOUS_REFERENCE — or, worse, silently resolve to the wrong one."""
-    clash = sorted(set(df.columns) & set(reserved))
+    AMBIGUOUS_REFERENCE — or, worse, silently resolve to the wrong one.
+    Case-insensitive (ADVICE r5): Spark resolves columns with
+    ``spark.sql.caseSensitive=false`` by default, so a batch carrying
+    ``LSN`` hits exactly the ambiguity this guard exists to prevent."""
+    lowered = {c.lower() for c in reserved}
+    clash = sorted({c for c in df.columns if c.lower() in lowered})
     if clash:
         raise ValueError(
             f"{caller}: batch carries reserved column(s) {clash}; this ingest "
@@ -395,7 +399,7 @@ def _merge_apply_once(
     staged_empty = _winner_staged(batch.limit(0))
 
     key_cols = snap.key_cols
-    if "_bucket" in staged_empty.columns:
+    if any(c.lower() == "_bucket" for c in staged_empty.columns):
         # the write path overwrites _bucket with the hash-bucket id and the
         # partitioned write then strips it — a data column named _bucket
         # would be silently destroyed, so refuse it loudly
@@ -563,13 +567,14 @@ def _merge_apply_once(
             metrics.duration_sec = time.time() - t0
             return metrics
 
-        # Small batches are re-read by the winner join-back (and, with
-        # current state, the winning-key aggregate): cache them once
-        # instead of re-running the batch lineage per pass. Bounded by
-        # the row gate above — large batches keep streaming.
-        if metrics.events_in <= _batch_persist_rows() and (
-            has_current or n_keys != metrics.events_in
-        ):
+        # Small CoW batches are re-read by the winning-key aggregate and
+        # the winner join-back: cache them once instead of re-running the
+        # batch lineage per pass. CoW-only and row-gated: persisting the
+        # bench's 1M-event MOR batches measured a 2.2x replay REGRESSION
+        # (338 s vs 153 s at 20M events) — memory-store materialization
+        # under 32 concurrent tasks costs far more than the pruned
+        # binlog re-scan it saves.
+        if has_current and metrics.events_in <= _batch_persist_rows():
             batch = batch.persist()
             persisted.append(batch)
 
@@ -608,6 +613,21 @@ def _merge_apply_once(
         # straight from the batch scan, no wide shuffle.
         if n_keys == metrics.events_in:
             winners = batch if cur_beats is None else batch.join(bcast(cur_beats), key_cols, "left_anti")
+        elif (
+            is_mor
+            and n_keys > broadcast_key_limit
+            and os.environ.get("SPARK_GRAFT_MOR_SINGLE_PHASE", "1") != "0"
+        ):
+            # Winner set too large to broadcast: the (key, lsn) join-back
+            # degenerates to a sort-merge join that shuffles the FULL
+            # batch payload anyway — on top of the narrow aggregate's own
+            # shuffle and both sort passes. One struct-max aggregate
+            # moves the payload once (with map-side partial combine) and
+            # its result IS the documented duplicate-LSN tiebreak, so the
+            # tie path needs no separate handling. (The two-phase shape
+            # stays the design for the broadcastable common case — there
+            # the payload never shuffles at all.)
+            winners = dedup_last_writer(batch, key_cols)
         else:
             winners = batch.join(bcast(batch_won), [*key_cols, "lsn"], "inner")
             if strict_lww_ties or has_lsn_ties:

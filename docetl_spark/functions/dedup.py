@@ -275,7 +275,19 @@ def ngram_jaccard_pairs(
     if candidates is None:
         candidates = minhash_lsh_pairs(df, id_col, text_col, num_hashes=num_hashes, bands=bands,
                                        shingle_n=shingle_n, threshold=0.0)
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
+    # Guide §3.2: the verify side only needs shingles for rows that occur
+    # in a candidate pair — a sparse set by LSH design — so semi-join the
+    # corpus down BEFORE the shingle kernel instead of shingling every
+    # row twice and probing a hash table. The candidate frame feeds three
+    # consumers (the id set and both verify joins); persist it so the
+    # banded self-join runs once (same lifetime convention as the
+    # signature persist in minhash_lsh_pairs).
+    candidates = candidates.select("_id1", "_id2").persist()
+    wanted = candidates.select(F.col("_id1").alias(id_col)).union(
+        candidates.select(F.col("_id2").alias(id_col))
+    )
+    pruned = df.join(F.broadcast(wanted), id_col, "left_semi")
+    sh = pruned.select(F.col(id_col).alias("_id"), shingles(text_col, shingle_n).alias("_sh"))
     s1 = sh.select(F.col("_id").alias("_id1"), F.col("_sh").alias("_sh1"))
     s2 = sh.select(F.col("_id").alias("_id2"), F.col("_sh").alias("_sh2"))
     # rounded BEFORE the threshold: the 6dp contract makes the kept pair

@@ -40,6 +40,7 @@ the "beyond the reference" dedup pillar fused with the CDC spine.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -581,9 +582,7 @@ def _index_maintenance(spark, table, subdir, make_entries, conflict_retries, op)
             # its stats/bucket-write window (seconds). Bare retries are
             # two tiny JSON reads apiece and would burn the whole budget
             # in milliseconds — back off so the window can actually close.
-            import time as _time
-
-            _time.sleep(min(2.0, 0.25 * (2 ** attempt)))
+            time.sleep(min(2.0, 0.25 * (2 ** attempt)))
             continue
         live = _live_ids(spark, table, snap)
         entries = make_entries(idx, isnap, snap, live)

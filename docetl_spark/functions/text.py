@@ -35,7 +35,15 @@ def tokens(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    return F.size(tokens(text))
+    # equivalent to size(tokens(text)) but with NO higher-order filter:
+    # after trim, a \s+ split can only produce empty tokens when the
+    # whole string is empty, so the count is size(split(trim)) with an
+    # empty/whitespace-only guard — pure codegen (the filter lambda is
+    # interpreted per token, and this count runs per winner row in the
+    # CDC map stage)
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:

@@ -105,7 +105,13 @@ def _read_file_partition(part: _FilePartition, query_schema: T.StructType):
     target = to_arrow_schema(query_schema)
     pf = pq.ParquetFile(part.path)
     has_deleted = DELETED_COL in pf.schema_arrow.names
-    for rb in pf.iter_batches():
+    # parquet column pruning (ADVICE r5): read only the columns the query
+    # schema asks for (plus the tombstone flag that _change_type derives
+    # from) — a narrow pushed projection over a wide table now skips the
+    # other columns' I/O and decode, not just their memory
+    wanted = {f.name for f in target} | {DELETED_COL}
+    cols_to_read = [c for c in pf.schema_arrow.names if c in wanted]
+    for rb in pf.iter_batches(columns=cols_to_read):
         tbl = pa.Table.from_batches([rb])
         n = tbl.num_rows
         if has_deleted:
