@@ -111,29 +111,55 @@ def lang_id(text: Column | str) -> Column:
     return _kernel(c)
 
 
+_ALPHA_RE = _re.compile(r"[A-Za-z]")
+_PUNCT_RE = _re.compile(r"[.!?,;:]")
+_EN_STOPSET = frozenset(_LANG_MARKERS["en"])
+
+
+def _quality_raw_py(text: str | None) -> float | None:
+    """Exact python mirror of the former Column expression tree for the
+    UNROUNDED quality blend: every ratio is the same int arithmetic +
+    float64 division, the weighted sum keeps the same literal order and
+    left association, so the doubles are bit-identical. Rounding stays a
+    JVM ``F.round`` on the kernel output (unchanged semantics)."""
+    if text is None:
+        return None
+    n_chars = len(text)
+    toks = [t for t in _ASCII_WS.split(text.strip()) if t]
+    n_tok = len(toks)
+    alpha_ratio = len(_ALPHA_RE.findall(text)) / (n_chars + 1)
+    stop_ratio = sum(1 for t in toks if t.lower() in _EN_STOPSET) / (n_tok + 1)
+    punct_ratio = len(_PUNCT_RE.findall(text)) / (n_chars + 1)
+    mean_word_len = (n_chars - n_tok + 1) / (n_tok + 1)
+    len_band = 1.0 if 10 <= n_tok <= 100000 else 0.2
+    word_band = 1.0 if 2 <= mean_word_len <= 12 else 0.3
+    punct_band = 1.0 if punct_ratio <= 0.2 else 0.5
+    return (
+        0.3 * len_band
+        + 0.2 * word_band
+        + 0.15 * punct_band
+        + 0.2 * min(alpha_ratio * 1.25, 1.0)
+        + 0.15 * min(stop_ratio * 5.0, 1.0)
+    )
+
+
 def quality_score(text: Column | str) -> Column:
     """Deterministic document-quality heuristic in [0,1]: blend of length
     band, alpha ratio, stopword presence and punctuation sanity — the
-    standard pre-training filter features (C4/Gopher-style rules)."""
+    standard pre-training filter features (C4/Gopher-style rules).
+
+    Arrow-vectorized kernel (guide §4.2): the Column form ran two
+    regexp_replace passes plus an interpreted per-token marker filter per
+    document; the batched python mirror computes the same float64 blend
+    bit-identically (see ``_quality_raw_py``) in one pass, and the final
+    6-dp rounding remains the JVM ``F.round``."""
+
+    @F.pandas_udf("double")
+    def _kernel(texts: pd.Series) -> pd.Series:
+        return pd.Series([_quality_raw_py(t) for t in texts], dtype="float64")
+
     c = F.col(text) if isinstance(text, str) else text
-    n_chars = F.length(c)
-    toks = tokens(c)
-    n_tok = F.size(toks)
-    alpha_ratio = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")) / (n_chars + F.lit(1))
-    stop_ratio = _marker_hits(toks, _LANG_MARKERS["en"]) / (n_tok + F.lit(1))
-    punct_ratio = F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / (n_chars + F.lit(1))
-    mean_word_len = (n_chars - n_tok + F.lit(1)) / (n_tok + F.lit(1))
-    len_band = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.2))
-    word_band = F.when((mean_word_len >= 2) & (mean_word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
-    punct_band = F.when(punct_ratio <= 0.2, F.lit(1.0)).otherwise(F.lit(0.5))
-    raw = (
-        F.lit(0.3) * len_band
-        + F.lit(0.2) * word_band
-        + F.lit(0.15) * punct_band
-        + F.lit(0.2) * F.least(alpha_ratio * 1.25, F.lit(1.0))
-        + F.lit(0.15) * F.least(stop_ratio * 5.0, F.lit(1.0))
-    )
-    return F.round(raw, 6)
+    return F.round(_kernel(c), 6)
 
 
 def fingerprint(text: Column | str, normalize: bool = True) -> Column:
