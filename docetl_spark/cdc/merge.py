@@ -279,6 +279,172 @@ def _per_bucket_stats(wk: DataFrame, table: LakeTable, snap: Snapshot) -> DataFr
     )
 
 
+@dataclass
+class PreparedMerge:
+    """A MOR merge whose data files are fully written but whose snapshot is
+    not yet published (see ``prepare_mor_merge`` / ``commit_prepared_merge``).
+    Carries the assumption set the files were written under; commit
+    validates it against the live snapshot and refuses (returns None) on
+    any drift — the files then stay unreferenced (vacuum reclaims them,
+    exactly like a losing concurrent-commit attempt)."""
+
+    batch_id: int
+    new_files: dict
+    metrics: MergeMetrics
+    evolved: T.StructType
+    num_buckets: int
+    bucket_cols: tuple | None
+    key_cols: tuple
+
+
+def prepare_mor_merge(
+    spark: SparkSession,
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    assumed: Snapshot,
+    stages: Iterable[TransformStage] = (),
+    winner_stages: Iterable[TransformStage] = (),
+    broadcast_key_limit: int = 500_000,
+    strict_lww_ties: bool = False,
+    fence_prop: str = FENCE_PROP,
+) -> PreparedMerge | None:
+    """Phases 1+2 and the bucket-file WRITE of a MOR merge, run against an
+    ASSUMED snapshot with the commit deferred (guide §2.6: consecutive MOR
+    merges are independent except the fence — batch i+1's write job can
+    back-fill executors while batch i's write drains, and the commits stay
+    strictly ordered on the caller's thread). MOR never reads table state,
+    so the only snapshot inputs are the bucket spec and the schema; both
+    are re-validated by ``commit_prepared_merge`` before publishing.
+
+    Returns None when the batch needs the classic serial path (assumed
+    fence already past it, or in-flight schema evolution — evolution also
+    rewrites assumptions for every later in-flight prepare, so the caller
+    must refresh ``assumed`` after any fallback). Winner semantics are
+    byte-identical to ``_merge_apply_once``'s MOR branch: same insert-only
+    fast path, same single-phase gate above the broadcast limit, same
+    duplicate-LSN struct-max tiebreak."""
+    t0 = time.time()
+    if batch_id <= int(assumed.properties.get(fence_prop, "-1")):
+        return None  # fence already past under the assumption — classic path re-checks
+
+    for stage in stages:
+        batch = stage(batch)
+
+    def _winner_staged(df: DataFrame) -> DataFrame:
+        for stage in winner_stages:
+            df = stage(df)
+        return df
+
+    staged_empty = _winner_staged(batch.limit(0))
+    if any(c.lower() == "_bucket" for c in staged_empty.columns):
+        raise SchemaError(
+            "'_bucket' is a reserved lake column (the merge overwrites it "
+            "with the hash-bucket id); rename it upstream"
+        )
+    payload_fields = [f for f in staged_empty.schema.fields if f.name not in CONTROL_COLS]
+    incoming = T.StructType(
+        payload_fields
+        + [T.StructField("lsn", T.LongType(), True), T.StructField(DELETED_COL, T.BooleanType(), True)]
+    )
+    evolved = merge_schemas(assumed.schema, incoming)
+    if evolved != assumed.schema:
+        return None  # schema evolution: the classic path owns widen/rewrite
+
+    key_cols = assumed.key_cols
+    wk = _winning_keys(batch, key_cols)
+    per_bucket = _per_bucket_stats(wk, table, assumed).collect()
+    bucket_counts = {r["_bucket"]: r["keys"] for r in per_bucket}
+    n_keys = sum(bucket_counts.values())
+    n_del = int(sum(r["dels"] for r in per_bucket))
+    has_lsn_ties = int(sum(r["dup_lsn_keys"] for r in per_bucket)) > 0
+
+    metrics = MergeMetrics(
+        batch_id=batch_id,
+        events_in=int(sum(r["events"] for r in per_bucket)),
+        keys_in_batch=n_keys,
+        upserts=n_keys - n_del,
+        deletes=n_del,
+        min_lsn=min((r["min_lsn"] for r in per_bucket), default=None),
+        max_lsn=max((r["max_lsn"] for r in per_bucket), default=None),
+        stats_sec=time.time() - t0,
+    )
+    base = PreparedMerge(
+        batch_id=batch_id, new_files={}, metrics=metrics, evolved=evolved,
+        num_buckets=assumed.num_buckets,
+        bucket_cols=tuple(assumed.bucket_cols) if assumed.bucket_cols else None,
+        key_cols=tuple(key_cols),
+    )
+    if n_keys == 0:
+        metrics.duration_sec = time.time() - t0
+        return base  # fence-advance-only commit
+
+    bcast = (lambda df: F.broadcast(df)) if n_keys <= broadcast_key_limit else (lambda df: df)
+    if n_keys == metrics.events_in:
+        winners = batch
+    elif n_keys > broadcast_key_limit and os.environ.get("SPARK_GRAFT_MOR_SINGLE_PHASE", "1") != "0":
+        winners = dedup_last_writer(batch, key_cols)
+    else:
+        winners = batch.join(bcast(wk.select(*key_cols, "lsn")), [*key_cols, "lsn"], "inner")
+        if strict_lww_ties or has_lsn_ties:
+            winners = dedup_last_writer(winners, key_cols)
+    winners = _winner_staged(winners)
+    winners = _align(winners.withColumn(DELETED_COL, F.col("op") == F.lit("D")), evolved)
+
+    combined = winners.withColumn("_bucket", table.bucket_expr(assumed)).repartition("_bucket")
+    tag = f"mor{batch_id:08d}-{uuid.uuid4().hex[:8]}"
+    t_w = time.time()
+    base.new_files = table.write_bucket_files(combined, assumed, tag, repartition=False)
+    metrics.write_sec = time.time() - t_w
+    metrics.buckets_touched = len(bucket_counts)
+    metrics.bucket_rows = {str(b): int(c) for b, c in bucket_counts.items()}
+    metrics.duration_sec = time.time() - t0
+    return base
+
+
+def commit_prepared_merge(
+    table: LakeTable,
+    prep: PreparedMerge,
+    fence_prop: str = FENCE_PROP,
+    max_retries: int = 5,
+) -> MergeMetrics | None:
+    """CAS-publish a prepared MOR merge. Re-validates every assumption
+    against the LIVE snapshot first: fence (duplicate delivery -> skip,
+    exactly-once holds), schema, bucket spec. Returns None when the
+    assumptions no longer hold — the caller re-runs the classic merge and
+    the prepared files stay orphaned until vacuum (they were never
+    referenced). Retries the CAS when an unrelated commit (compaction, a
+    concurrent stream) races us but the assumptions still validate."""
+    for _ in range(max_retries):
+        cur = table.snapshot()
+        if int(cur.properties.get(fence_prop, "-1")) >= prep.batch_id:
+            return MergeMetrics(batch_id=prep.batch_id, skipped=True, snapshot_version=cur.version)
+        if (
+            cur.schema != prep.evolved
+            or cur.num_buckets != prep.num_buckets
+            or tuple(cur.key_cols) != prep.key_cols
+            or (tuple(cur.bucket_cols) if cur.bucket_cols else None) != prep.bucket_cols
+        ):
+            return None
+        props = {fence_prop: str(prep.batch_id)}
+        if prep.new_files:
+            props[DELTA_PROP] = "true"
+        try:
+            new_snap = table.commit(
+                prep.new_files,
+                replaced_buckets=set(),
+                schema=prep.evolved,
+                properties=props,
+                summary={"operation": "merge", "mode": "mor", **prep.metrics.to_dict()},
+                expected_version=cur.version,
+            )
+        except CommitConflict:
+            continue
+        prep.metrics.snapshot_version = new_snap.version
+        return prep.metrics
+    return None
+
+
 def merge_apply(
     spark: SparkSession,
     table: LakeTable,

@@ -255,6 +255,12 @@ def replay_events(
             return events.filter(F.col(batch_col) == group[0])
         return events.filter(F.col(batch_col).isin([int(b) for b in group]))
 
+    if mode == "mor" and os.environ.get("SPARK_GRAFT_MOR_PIPELINE", "1") != "0":
+        return _replay_mor_pipelined(
+            spark, table, groups, batch_df, stages, winner_stages,
+            metrics_path, compact_every, changelog,
+        )
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = None
         for i, group in enumerate(groups, start=1):
@@ -273,6 +279,73 @@ def replay_events(
             m = merge_apply(spark, table, batch_df(group), bid,
                             stages=stages, winner_stages=winner_stages, mode=mode,
                             precomputed=pre, changelog=changelog)
+            out.append(m)
+            if metrics_path:
+                os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(m.to_dict()) + "\n")
+            if compact_every and i % compact_every == 0:
+                compact_state(spark, table)
+    return out
+
+
+def _replay_mor_pipelined(
+    spark: SparkSession,
+    table: LakeTable,
+    groups: list[list[int]],
+    batch_df,
+    stages: Iterable[TransformStage],
+    winner_stages: Iterable[TransformStage],
+    metrics_path: str | None,
+    compact_every: int | None,
+    changelog: bool,
+) -> list[MergeMetrics]:
+    """MOR replay with WRITE-JOB pipelining (guide §2.6): a MOR merge never
+    reads table state, so consecutive batches' prepare phases (stats +
+    winner dedup + bucket-file write) are independent — only the fenced
+    commits must stay ordered. Two prepare workers keep the next batch's
+    write job in the scheduler while the current one drains its stragglers
+    (FIFO scheduling back-fills freed executors); the main thread publishes
+    the commits strictly in batch order, so exactly-once, fence
+    monotonicity and the change feed's per-commit deltas are byte-identical
+    to serial replay. A prepare whose assumptions drift (in-flight schema
+    evolution, rebucket) is discarded — its files were never referenced —
+    and the batch re-runs through the classic serial merge; later prepares
+    restart from the refreshed snapshot. Disable with
+    SPARK_GRAFT_MOR_PIPELINE=0."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from docetl_spark.cdc.merge import commit_prepared_merge, merge_apply, prepare_mor_merge
+
+    out: list[MergeMetrics] = []
+    depth = 2  # one in-flight write + one back-filling: more just queues
+    with ThreadPoolExecutor(max_workers=depth) as pool:
+        assumed = table.snapshot()
+
+        def submit(group):
+            return pool.submit(
+                prepare_mor_merge, spark, table, batch_df(group), int(max(group)),
+                assumed, stages=stages, winner_stages=winner_stages,
+            )
+
+        futs: deque = deque()
+        for g in groups[:depth]:
+            futs.append(submit(g))
+        for i, group in enumerate(groups, start=1):
+            bid = int(max(group))
+            prep = futs.popleft().result()
+            m = commit_prepared_merge(table, prep) if prep is not None else None
+            if m is None:
+                # assumptions drifted (or fence already past): classic merge
+                # owns this batch, then later prepares rebuild on the fresh
+                # snapshot (in-flight ones self-invalidate at commit)
+                m = merge_apply(spark, table, batch_df(group), bid,
+                                stages=stages, winner_stages=winner_stages,
+                                mode="mor", changelog=changelog)
+                assumed = table.snapshot()
+            if i + depth - 1 < len(groups):
+                futs.append(submit(groups[i + depth - 1]))
             out.append(m)
             if metrics_path:
                 os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)

@@ -1,8 +1,11 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-* ``knn_brute`` — exact cosine top-k: query-set broadcast cross join +
-  per-query TakeOrdered window. The correctness baseline; O(|Q|·|corpus|)
-  but fully distributed and shuffle-light (queries broadcast).
+* ``knn_brute`` — exact cosine top-k: the bounded query set rides a
+  single Arrow kernel's closure (``_mq_scored``), so every corpus vector
+  crosses the Python boundary once; per-query rank window on the scored
+  pairs. The correctness baseline; O(|Q|·|corpus|) cosines but fully
+  distributed, shuffle-light, and bit-identical to the crossJoin form it
+  falls back to for unbounded query sets.
 * ``knn_lsh`` — the scale path: seeded random-hyperplane buckets with
   multi-probe (flip each single bit), so a query only scans its own and
   adjacent buckets: candidate set shrinks ~2^planes-fold. Falls back to
@@ -32,6 +35,116 @@ from pyspark.sql import functions as F
 from docetl_spark.functions.vectors import cosine, l2_normalize
 
 
+# Driver-collect bound for the multi-query kernel's query side. Every
+# certificate/brute contract runs a bounded query sample by design (the
+# crossJoin path already broadcast q); past this bound we keep the
+# crossJoin rather than grow the UDF closure.
+_MQ_COLLECT_BOUND = 1024
+
+
+def _collect_queries(q: DataFrame) -> list | None:
+    """The bounded query sample for the multi-query kernel, or None when
+    it exceeds the bound (one small driver job — O(|Q|) rows)."""
+    rows = q.limit(_MQ_COLLECT_BOUND + 1).collect()
+    return None if len(rows) > _MQ_COLLECT_BOUND else rows
+
+
+def _collect_queries_raw(queries: DataFrame, query_id_col: str, vec_col: str) -> list | None:
+    """Bounded query sample collected RAW — the collect job is a pure JVM
+    scan (no Arrow UDF stage, which measurably dominates this tiny job) —
+    then l2-normalized on the driver replicating ``_l2n_udf`` op-for-op:
+    float64 promotion, ascending-dim sum-of-squares, ``sqrt(ss) + 1e-12``,
+    elementwise divide. The kernel therefore sees bit-identical query
+    vectors to the ``l2_normalize`` column path. Returns
+    ``[{"_qid": ..., "_qv": ...}]`` or None when over the bound."""
+    import numpy as np
+
+    from docetl_spark.functions.vectors import _acc_dot
+
+    rows = (
+        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .limit(_MQ_COLLECT_BOUND + 1)
+        .collect()
+    )
+    if len(rows) > _MQ_COLLECT_BOUND:
+        return None
+    out = []
+    for r in rows:
+        v = r["_qv"]
+        if v is None:
+            out.append({"_qid": r["_qid"], "_qv": None})
+            continue
+        m = np.asarray(v, dtype=np.float64).reshape(1, -1)
+        n = np.sqrt(_acc_dot(m, m)) + 1e-12
+        out.append({"_qid": r["_qid"], "_qv": m[0] / n[0]})
+    return out
+
+
+def _mq_scored(c: DataFrame, q: DataFrame, rows: list | None = None) -> DataFrame | None:
+    """(_qid, _nid, cosine) over every (corpus, query) pair WITHOUT the
+    crossJoin: the bounded query frame is collected once and its
+    normalized matrix rides ONE Arrow kernel's closure, so each corpus
+    vector crosses the Python boundary once instead of |Q| times (the
+    crossJoin shipped BOTH dim-d double vectors per pair — guide §4.1:
+    control how many bytes cross the boundary).
+
+    Numerics replicate the per-pair ``_cosine_udf`` bit-for-bit: the same
+    ascending-dim ufunc accumulation per (corpus, query) cell, the same
+    ``dot / (norm_c * norm_q + 1e-12)`` scalar order, so ranks, recall
+    ratios and emitted cosines are byte-identical to the crossJoin path.
+    A NULL corpus vector yields |Q| NULL-cosine rows — exactly the
+    crossJoin's row set.
+
+    Returns None (caller keeps the crossJoin) when the query set exceeds
+    the collect bound, is empty, or carries NULL query vectors."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import ArrowUDFType, arrow_udf
+
+    from docetl_spark.functions.vectors import _acc_dot, _mat
+
+    if rows is None:
+        rows = _collect_queries(q)
+    if not rows:
+        return None
+    if any(r["_qv"] is None for r in rows):
+        return None  # NULL query vectors: crossJoin semantics are subtler — keep them there
+
+    Qm = np.asarray([r["_qv"] for r in rows], dtype=np.float64)
+    qn = np.sqrt(_acc_dot(Qm, Qm))  # per-query norms, same ascending-dim adds
+    nq = Qm.shape[0]
+
+    @arrow_udf(T.ArrayType(T.DoubleType()), ArrowUDFType.SCALAR)
+    def _mq(a: pa.Array) -> pa.Array:
+        valid, m = _mat(a)
+        acc = np.zeros((m.shape[0], nq))
+        for d in range(m.shape[1]):  # ascending-dim adds == _cosine_udf's order
+            acc += m[:, d][:, None] * Qm[:, d][None, :]
+        cn = np.sqrt(_acc_dot(m, m))
+        vals = acc / (cn[:, None] * qn[None, :] + 1e-12)
+        full = np.zeros((len(valid), nq))
+        full[valid] = vals
+        mask = np.repeat(~valid, nq)
+        values = pa.array(full.ravel(), type=pa.float64(), mask=mask if mask.any() else None)
+        offsets = pa.array(
+            np.arange(0, (len(valid) + 1) * nq, nq, dtype=np.int64), type=pa.int64()
+        )
+        return pa.LargeListArray.from_arrays(offsets, values)
+
+    spark = c.sparkSession
+    pos_map = spark.createDataFrame(
+        [(i, r["_qid"]) for i, r in enumerate(rows)],
+        T.StructType([T.StructField("_pos", T.IntegerType(), False), q.schema["_qid"]]),
+    )
+    return (
+        c.select("_nid", F.posexplode(_mq(F.col("_cv"))).alias("_pos", "cosine"))
+        .join(F.broadcast(pos_map), "_pos")
+        .filter(F.col("_nid") != F.col("_qid"))
+        .select("_qid", "_nid", "cosine")
+    )
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))
     return (
@@ -48,11 +161,14 @@ def knn_brute(
     query_id_col = query_id_col or id_col
     c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
     q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("_nid") != F.col("_qid"))
-        .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
-    )
+    q_rows = _collect_queries_raw(queries, query_id_col, vec_col)
+    scored = _mq_scored(c, q, rows=q_rows) if q_rows is not None else None
+    if scored is None:
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("_nid") != F.col("_qid"))
+            .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
+        )
     return _rank_topk(scored, k)
 
 
@@ -149,7 +265,9 @@ def knn_lsh(
     return _rank_topk(scored, k)
 
 
-def _recall_against_brute(c: DataFrame, q: DataFrame, k: int, pairs: DataFrame) -> DataFrame:
+def _recall_against_brute(
+    c: DataFrame, q: DataFrame, k: int, pairs: DataFrame, q_rows: list | None = None,
+) -> DataFrame:
     """Per-query recall@k of a candidate-pair blocking against brute force,
     from ONE scored frame: normalize once, score every (query, corpus)
     pair once, rank the full frame for the brute top-k and the
@@ -171,14 +289,19 @@ def _recall_against_brute(c: DataFrame, q: DataFrame, k: int, pairs: DataFrame) 
     than k scored neighbors (tiny corpus, k > corpus-1) must still be
     able to reach recall 1.0."""
     from pyspark import StorageLevel
+    from pyspark.sql import types as T
 
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("_nid") != F.col("_qid"))
-        .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
-        .select("_qid", "_nid", "cosine")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if q_rows is None:
+        q_rows = _collect_queries(q)
+    scored = _mq_scored(c, q, rows=q_rows)
+    if scored is None:
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("_nid") != F.col("_qid"))
+            .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
+            .select("_qid", "_nid", "cosine")
+        )
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         brute = _rank_topk(scored, k)
         approx = _rank_topk(scored.join(pairs, ["_qid", "_nid"], "left_semi"), k)
@@ -206,7 +329,16 @@ def _recall_against_brute(c: DataFrame, q: DataFrame, k: int, pairs: DataFrame) 
     out = c.sparkSession.createDataFrame(rows, schema)
     # queries absent from the brute frame (corpus holds no OTHER vector)
     # have no meaningful recall; give them 1.0 so certificates stay green
-    qids = q.select(F.col("_qid").alias("query_id")).distinct()
+    if q_rows is not None:
+        # q was already collected for the kernel — build the id frame
+        # locally so the returned plan is a local join, not a re-scan of
+        # the query lineage at every consumer action
+        qids = c.sparkSession.createDataFrame(
+            [(v,) for v in dict.fromkeys(r["_qid"] for r in q_rows)],
+            T.StructType([T.StructField("query_id", q.schema["_qid"].dataType)]),
+        )
+    else:
+        qids = q.select(F.col("_qid").alias("query_id")).distinct()
     # `out` is a |Q|-row local frame (just collected) — broadcast it
     return qids.join(F.broadcast(out), "query_id", "left").select(
         "query_id", F.coalesce(F.col("recall"), F.lit(1.0)).alias("recall")
@@ -223,7 +355,9 @@ def lsh_recall_at_k(
     c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
     q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
     pairs = _lsh_candidate_pairs(c, q, dim, planes, seed, tables, probe_bits)
-    return _recall_against_brute(c, q, k, pairs)
+    return _recall_against_brute(
+        c, q, k, pairs, q_rows=_collect_queries_raw(queries, query_id_col, vec_col)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -365,4 +499,6 @@ def ivf_recall_at_k(
     c = corpus.select(F.col(id_col).alias("_nid"), l2_normalize(vec_col).alias("_cv"))
     q = queries.select(F.col(query_id_col).alias("_qid"), l2_normalize(vec_col).alias("_qv"))
     pairs = _ivf_candidate_pairs(c, q, centroids, n_probe)
-    return _recall_against_brute(c, q, k, pairs)
+    return _recall_against_brute(
+        c, q, k, pairs, q_rows=_collect_queries_raw(queries, query_id_col, vec_col)
+    )

@@ -202,3 +202,53 @@ def test_lsh_recall_small_corpus_uses_per_query_denominator(spark):
                           planes=2, tables=4, probe_bits=2)
     got = {r["query_id"]: r["recall"] for r in rec.collect()}
     assert got[0] == 1.0 and got[1] == 1.0
+
+
+def test_mq_scored_bit_identical_to_crossjoin_cosine(spark):
+    # the multi-query kernel must reproduce the crossJoin+_cosine_udf
+    # scored frame byte-for-byte, including |Q| NULL-cosine rows for a
+    # NULL corpus vector (same row set, same bit patterns -> same ranks)
+    import numpy as np
+
+    from docetl_spark.functions.ann import _mq_scored
+    from docetl_spark.functions.vectors import cosine, l2_normalize
+
+    rng = np.random.RandomState(13)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(40)]
+    rows.append((40, None))
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    c = df.select(F.col("id").alias("_nid"), l2_normalize("v").alias("_cv"))
+    q = df.filter("id < 3").select(F.col("id").alias("_qid"), l2_normalize("v").alias("_qv"))
+
+    kernel = {(r["_qid"], r["_nid"]): r["cosine"] for r in _mq_scored(c, q).collect()}
+    cross = {(r["_qid"], r["_nid"]): r["cosine"] for r in (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("_nid") != F.col("_qid"))
+        .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
+        .select("_qid", "_nid", "cosine")
+    ).collect()}
+
+    assert set(kernel) == set(cross)
+    assert (3, 40) not in kernel and (0, 40) in kernel  # null corpus row kept, per-query
+    for key, want in cross.items():
+        got = kernel[key]
+        if want is None:
+            assert got is None, key
+        else:
+            assert got.hex() == want.hex(), key
+
+    # the raw-collect path (pure-JVM collect + driver-side l2 normalize)
+    # must reproduce the _l2n_udf vectors AND the scored frame bit-for-bit
+    from docetl_spark.functions.ann import _collect_queries_raw
+
+    raw = _collect_queries_raw(df.filter("id < 3"), "id", "v")
+    udf_q = {r["_qid"]: r["_qv"] for r in q.collect()}
+    for r in raw:
+        want_vec = udf_q[r["_qid"]]
+        assert [x.hex() for x in r["_qv"]] == [x.hex() for x in want_vec], r["_qid"]
+    kernel_raw = {(r["_qid"], r["_nid"]): r["cosine"]
+                  for r in _mq_scored(c, q, rows=raw).collect()}
+    assert kernel_raw.keys() == cross.keys()
+    for key, want in cross.items():
+        got = kernel_raw[key]
+        assert (got is None and want is None) or got.hex() == want.hex(), key

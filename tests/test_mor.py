@@ -120,3 +120,35 @@ def test_compact_after_mode_switch_restores_unique_keys(spark, tmp_path):
     got = df_rows(read_state(spark, table).select(*KEYS, "lsn", "content"))
     want = df_rows(final_state_oracle(events).select(*KEYS, "lsn", "content"))
     assert got == want
+
+
+def test_mor_pipelined_equals_serial_replay(spark, tmp_path, monkeypatch):
+    # the write-job pipeline must be invisible in every observable: final
+    # state, fence, delta flag, commit-per-batch history, and winner-stage
+    # output (the bench shape). Batch 0 additionally exercises the
+    # evolution fallback: the fresh table evolves its schema on the first
+    # batch, so its prepare self-invalidates and the classic path owns it.
+    events = _events(spark)
+    stage = [lambda df: df.withColumn("n_chars", F.length("content"))]
+
+    t_pipe = create_cdc_table(str(tmp_path / "pipe"), KEYS, num_buckets=4)
+    monkeypatch.delenv("SPARK_GRAFT_MOR_PIPELINE", raising=False)
+    m_pipe = replay_events(spark, t_pipe, events, mode="mor", winner_stages=stage)
+
+    t_ser = create_cdc_table(str(tmp_path / "ser"), KEYS, num_buckets=4)
+    monkeypatch.setenv("SPARK_GRAFT_MOR_PIPELINE", "0")
+    m_ser = replay_events(spark, t_ser, events, mode="mor", winner_stages=stage)
+
+    cols = [*KEYS, "lsn", "lang", "content", "n_chars"]
+    assert df_rows(read_state(spark, t_pipe).select(*cols)) == df_rows(
+        read_state(spark, t_ser).select(*cols)
+    )
+    sp, ss = t_pipe.snapshot(), t_ser.snapshot()
+    assert sp.properties[DELTA_PROP] == "true" and ss.properties[DELTA_PROP] == "true"
+    assert sp.properties["cdc.last-batch-id"] == ss.properties["cdc.last-batch-id"]
+    assert sp.version == ss.version  # one commit per batch on both paths
+    assert [m.batch_id for m in m_pipe] == [m.batch_id for m in m_ser]
+    assert [m.keys_in_batch for m in m_pipe] == [m.keys_in_batch for m in m_ser]
+    # fenced redelivery under the pipeline: a second replay is a no-op
+    m2 = replay_events(spark, t_pipe, events, mode="mor", winner_stages=stage)
+    assert m2 == [] and t_pipe.snapshot().version == sp.version
