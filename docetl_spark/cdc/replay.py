@@ -319,7 +319,10 @@ def _replay_mor_pipelined(
     from docetl_spark.cdc.merge import commit_prepared_merge, merge_apply, prepare_mor_merge
 
     out: list[MergeMetrics] = []
-    depth = 2  # one in-flight write + one back-filling: more just queues
+    # one in-flight write + one back-filling by default; deeper pipelines
+    # add concurrent shuffle/write pressure on shared disks — measure
+    # before raising (scale-adaptive knob, guide §2.6)
+    depth = max(1, int(os.environ.get("SPARK_GRAFT_MOR_PIPELINE_DEPTH", "2")))
     with ThreadPoolExecutor(max_workers=depth) as pool:
         assumed = table.snapshot()
 

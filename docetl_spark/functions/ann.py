@@ -278,17 +278,18 @@ def _recall_against_brute(
     scale you run it on a sampled query set before committing them,
     paying |Q|x|corpus| once instead of running two independent full
     pipelines (and it is exactly equivalent — the approximate path ranks
-    the same exact cosines, restricted to its candidates). The scored
-    frame is narrow (ids + one double), persisted across its two
-    rankings, and released before returning: the per-query result is
-    |Q| rows by construction, so the terminal aggregation runs eagerly
-    and the function hands back a small local frame (no cache leak
-    across a session running many certificates).
+    the same exact cosines, restricted to its candidates). Both rankings
+    come out of ONE window pass: the brute rank is a plain row_number and
+    the candidate rank is the running count of candidate-flagged rows in
+    the same (desc cosine, _nid) total order — identical to row_number
+    over the candidate-restricted subset, without a second shuffle, a
+    persist, or the hits/denominator join tree. ``pairs`` must be
+    distinct (qid, nid) rows — every producer here ends in .distinct() —
+    or the flag join would duplicate scored rows and corrupt ranks.
 
     recall@k = hits / |brute top-k|, NOT hits / k: a query with fewer
     than k scored neighbors (tiny corpus, k > corpus-1) must still be
     able to reach recall 1.0."""
-    from pyspark import StorageLevel
     from pyspark.sql import types as T
 
     if q_rows is None:
@@ -301,31 +302,32 @@ def _recall_against_brute(
             .withColumn("cosine", cosine("_cv", "_qv").cast("double"))
             .select("_qid", "_nid", "cosine")
         )
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        brute = _rank_topk(scored, k)
-        approx = _rank_topk(scored.join(pairs, ["_qid", "_nid"], "left_semi"), k)
-        # approx/hits are <= |Q|*k rows by construction — broadcast them so
-        # the certificate assembly never shuffles the (larger) brute frame
-        hits = (
-            brute.select("query_id", "neighbor_id")
-            .join(
-                F.broadcast(approx.select("query_id", "neighbor_id")),
-                ["query_id", "neighbor_id"],
-                "left_semi",
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("_hits"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.col("_nid"))
+    ranked = (
+        scored.join(pairs.withColumn("_is_cand", F.lit(1)), ["_qid", "_nid"], "left")
+        .select(
+            "_qid",
+            F.coalesce(F.col("_is_cand"), F.lit(0)).alias("_is_cand"),
+            F.row_number().over(w).alias("_brk"),
+            F.sum(F.coalesce(F.col("_is_cand"), F.lit(0)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("_cdr"),
         )
-        denom = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
-        res = denom.join(F.broadcast(hits), "query_id", "left").select(
-            "query_id",
+    )
+    res = (
+        ranked.filter(F.col("_brk") <= k)
+        .groupBy("_qid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(((F.col("_is_cand") == 1) & (F.col("_cdr") <= k)).cast("long")).alias("_hits"),
+        )
+        .select(
+            F.col("_qid").alias("query_id"),
             (F.coalesce(F.col("_hits"), F.lit(0)) / F.col("_n")).alias("recall"),
         )
-        schema = res.schema
-        rows = res.collect()
-    finally:
-        scored.unpersist()
+    )
+    schema = res.schema
+    rows = res.collect()
     out = c.sparkSession.createDataFrame(rows, schema)
     # queries absent from the brute frame (corpus holds no OTHER vector)
     # have no meaningful recall; give them 1.0 so certificates stay green
