@@ -239,22 +239,50 @@ def replay_events(
                   for i in range(0, len(batch_ids), coalesce_batches)]
     else:
         groups = [[b] for b in batch_ids]
-    out: list[MergeMetrics] = []
-    # Stats-ahead pipelining: batch i+1's phase-1 stats job reads only its
-    # own events slice — never table state — so it runs in a helper thread
-    # WHILE batch i's write job executes, hiding one of the two serial
-    # jobs per micro-batch. merge_apply validates the prefetch against its
-    # own snapshot (bucket function fingerprint + batch id) and silently
-    # recomputes if a compaction/rebucket between batches invalidated it.
-    from concurrent.futures import ThreadPoolExecutor
-
-    from docetl_spark.cdc.merge import compute_batch_stats
-
+    # NOTE (negative result, measured): re-staging the pending binlog
+    # partitioned by batch id — so each merge's scan directory-prunes to
+    # its own batch instead of filtering the full event set — LOSES at
+    # every bench scale: the generator's binlog is already batch-clustered
+    # (row-group min/max on batch_id prunes), and for the one-row-group sf
+    # events table the 48-dir staging write costs more than the redundant
+    # 100k-row decodes it saves (4.17 s vs 3.74 s ungrouped; 12M MOR
+    # 171.5 s vs 146.6 s). Revisit only for binlogs that are both huge AND
+    # batch-interleaved.
     def batch_df(group):
         if len(group) == 1:
             return events.filter(F.col(batch_col) == group[0])
         return events.filter(F.col(batch_col).isin([int(b) for b in group]))
 
+    return _replay_groups(
+        spark, table, groups, batch_df, stages, winner_stages,
+        metrics_path, compact_every, changelog, mode,
+    )
+
+
+def _replay_groups(
+    spark: SparkSession,
+    table: LakeTable,
+    groups: list[list[int]],
+    batch_df,
+    stages: Iterable[TransformStage],
+    winner_stages: Iterable[TransformStage],
+    metrics_path: str | None,
+    compact_every: int | None,
+    changelog: bool,
+    mode: str,
+) -> list[MergeMetrics]:
+    """Serial replay loop with stats-ahead pipelining: batch i+1's phase-1
+    stats job reads only its own events slice — never table state — so it
+    runs in a helper thread WHILE batch i's write job executes, hiding one
+    of the two serial jobs per micro-batch. merge_apply validates the
+    prefetch against its own snapshot (bucket fingerprint + batch id) and
+    silently recomputes if a compaction/rebucket invalidated it. MOR mode
+    upgrades to full write pipelining (_replay_mor_pipelined)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from docetl_spark.cdc.merge import compute_batch_stats
+
+    out: list[MergeMetrics] = []
     if mode == "mor" and os.environ.get("SPARK_GRAFT_MOR_PIPELINE", "1") != "0":
         return _replay_mor_pipelined(
             spark, table, groups, batch_df, stages, winner_stages,
